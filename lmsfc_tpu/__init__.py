@@ -1,0 +1,26 @@
+"""lmsfc_tpu — TPU-native split-inference feature-compression framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the
+herok97/L-MSFC-V2-Training stack (CompressAI-Vision + the L-MSFC-V2 learned
+feature codec): vision models are split into NN-Part1 / NN-Part2, the
+intermediate multi-scale features are compressed by pluggable codecs, and the
+end-task accuracy (mAP / MOTA) is measured against bits spent.
+
+Layer map (mirrors the reference's contract, re-architected for TPU):
+  registry/   string-keyed plugin registries      (ref: compressai_vision/registry/registers.py:37-113)
+  config/     YAML config tree + factories        (ref: compressai_vision/config/config.py:58-150)
+  utils/      timing, struct/YUV IO, subprocess   (ref: compressai_vision/utils/)
+  ops/        Pallas/XLA kernels (GDN, quant, tiling)
+  entropy/    EntropyBottleneck / GaussianConditional (XLA) + CDF tables
+  native/     C++ rANS range coder (ctypes)       (ref: CompressAI cpp_exts/rans)
+  models/     Flax models: L-MSFC FENet/DRNet, ResNet-FPN R-CNN halves, Darknet/JDE
+  codecs/     pluggable encode/decode: learned, bypass, VTM/HM/x26x anchors
+  datasets/   data catalogs + COCO-json/tracking datasets
+  evaluators/ COCO mAP, OpenImages challenge, CLEAR-MOT
+  pipelines/  split-/remote-inference orchestration (ref: compressai_vision/pipelines/)
+  training/   lambda*MSE+bpp RD training, sharded via pjit over a Mesh
+  parallel/   mesh construction and sharding rules
+  run/        CLI entry points
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,63 @@
+"""Run provenance capture.
+
+Mirrors compressai_vision/config/env.py:44-64 and config/outputs.py:46-79:
+records git hash/branch, SLURM vars, host/user/start time, resolved config and
+the installed-package list into the run output directory.
+"""
+
+from __future__ import annotations
+
+import getpass
+import json
+import os
+import socket
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any, Dict
+
+from .conf import Config
+
+
+def _git(args, cwd) -> str:
+    try:
+        return subprocess.run(
+            ["git", *args], cwd=cwd, capture_output=True, text=True, timeout=10
+        ).stdout.strip()
+    except Exception:
+        return ""
+
+
+def get_env() -> Dict[str, Any]:
+    here = Path(__file__).resolve().parent
+    env: Dict[str, Any] = {
+        "git_hash": _git(["rev-parse", "HEAD"], here),
+        "git_branch": _git(["rev-parse", "--abbrev-ref", "HEAD"], here),
+        "hostname": socket.gethostname(),
+        "user": getpass.getuser(),
+        "start_utc": datetime.now(timezone.utc).isoformat(),
+        "python": sys.version.split()[0],
+    }
+    for var in ("SLURM_JOB_ID", "SLURM_ARRAY_JOB_ID", "SLURM_ARRAY_TASK_ID"):
+        if var in os.environ:
+            env[var.lower()] = os.environ[var]
+    try:
+        import jax
+
+        env["jax_version"] = jax.__version__
+        env["jax_backend"] = jax.default_backend()
+        env["jax_device_count"] = jax.device_count()
+    except Exception:
+        pass
+    return env
+
+
+def write_outputs(conf: Config, out_dir: Path) -> None:
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.yaml").write_text(conf.to_yaml())
+    (out_dir / "env.json").write_text(json.dumps(get_env(), indent=2))
+    diff = _git(["diff"], Path(__file__).resolve().parent)
+    if diff:
+        (out_dir / "src.patch").write_text(diff)

@@ -1,0 +1,249 @@
+// rANS range coder with CompressAI-compatible bitstream semantics.
+//
+// Implements the 64-bit-state / 32-bit-word rANS variant of Giesen's
+// "rans64" construction with the symbol/bypass layout used by CompressAI's
+// `RansEncoder.encode_with_indexes` / `RansDecoder.decode_with_indexes`
+// (reference dependency surveyed at SURVEY.md §2.9: compressai/cpp_exts/rans;
+// the reference calls it through net.compress/net.decompress,
+// compressai_vision/pipelines/fo_vcm/pipeline/compressai.py:140-142):
+//
+//   * probability precision: 16 bits; quantized CDFs sum to 1<<16
+//   * per-symbol CDF row selected by an index array (channel / scale index)
+//   * escape symbol = last regular symbol (max_value = cdf_length - 2);
+//     out-of-range values are bypass-coded in 4-bit nibbles with a
+//     unary-ish nibble-count prefix
+//   * encoder is LIFO: symbols are buffered forward then encoded in reverse,
+//     so the decoder reads the stream strictly forward
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this toolchain).
+//
+// Written from the public algorithm description; not a source copy.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kPrecision = 16;
+constexpr uint32_t kBypassPrecision = 4;
+constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
+constexpr uint64_t kRansL = 1ull << 31;
+
+using Rans64State = uint64_t;
+
+inline void Rans64EncInit(Rans64State* r) { *r = kRansL; }
+
+inline void Rans64EncPut(Rans64State* r, uint32_t** pptr, uint32_t start,
+                         uint32_t freq, uint32_t scale_bits) {
+  uint64_t x = *r;
+  uint64_t x_max = ((kRansL >> scale_bits) << 32) * freq;
+  if (x >= x_max) {
+    *pptr -= 1;
+    **pptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+  *r = ((x / freq) << scale_bits) + (x % freq) + start;
+}
+
+inline void Rans64EncPutBits(Rans64State* r, uint32_t** pptr, uint32_t val,
+                             uint32_t nbits) {
+  uint64_t x = *r;
+  uint32_t freq = 1u << (kPrecision - nbits);
+  uint64_t x_max = ((kRansL >> kPrecision) << 32) * freq;
+  if (x >= x_max) {
+    *pptr -= 1;
+    **pptr = static_cast<uint32_t>(x);
+    x >>= 32;
+  }
+  *r = (x << nbits) | val;
+}
+
+inline void Rans64EncFlush(Rans64State* r, uint32_t** pptr) {
+  uint64_t x = *r;
+  *pptr -= 2;
+  (*pptr)[0] = static_cast<uint32_t>(x >> 0);
+  (*pptr)[1] = static_cast<uint32_t>(x >> 32);
+}
+
+inline void Rans64DecInit(Rans64State* r, uint32_t** pptr) {
+  uint64_t x = static_cast<uint64_t>((*pptr)[0]) << 0;
+  x |= static_cast<uint64_t>((*pptr)[1]) << 32;
+  *pptr += 2;
+  *r = x;
+}
+
+inline uint32_t Rans64DecGet(Rans64State* r, uint32_t scale_bits) {
+  return static_cast<uint32_t>(*r & ((1ull << scale_bits) - 1));
+}
+
+inline void Rans64DecAdvance(Rans64State* r, uint32_t** pptr, uint32_t start,
+                             uint32_t freq, uint32_t scale_bits) {
+  uint64_t mask = (1ull << scale_bits) - 1;
+  uint64_t x = *r;
+  x = freq * (x >> scale_bits) + (x & mask) - start;
+  if (x < kRansL) {
+    x = (x << 32) | **pptr;
+    *pptr += 1;
+  }
+  *r = x;
+}
+
+inline uint32_t Rans64DecGetBits(Rans64State* r, uint32_t** pptr,
+                                 uint32_t nbits) {
+  uint64_t x = *r;
+  uint32_t val = static_cast<uint32_t>(x & ((1ull << nbits) - 1));
+  x = x >> nbits;
+  if (x < kRansL) {
+    x = (x << 32) | **pptr;
+    *pptr += 1;
+  }
+  *r = x;
+  return val;
+}
+
+struct BufferedSymbol {
+  uint32_t start;
+  uint32_t range;  // freq for regular symbols; value payload for bypass
+  bool bypass;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns bytes written to `out`, or -1 if `out_cap` is too small / bad input.
+int64_t rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
+                                 int64_t n, const int32_t* cdfs,
+                                 int32_t cdf_stride, const int32_t* cdf_lengths,
+                                 const int32_t* offsets, int32_t n_cdfs,
+                                 uint8_t* out, int64_t out_cap) {
+  std::vector<BufferedSymbol> syms;
+  syms.reserve(static_cast<size_t>(n) + 16);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= n_cdfs) return -1;
+    const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    if (max_value < 0) return -1;
+
+    int32_t value = symbols[i] - offsets[idx];
+    uint32_t raw_val = 0;
+    if (value < 0) {
+      raw_val = static_cast<uint32_t>(-2 * value - 1);
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+      value = max_value;
+    }
+    syms.push_back({static_cast<uint32_t>(cdf[value]),
+                    static_cast<uint32_t>(cdf[value + 1] - cdf[value]), false});
+
+    if (value == max_value) {
+      // nibble count
+      uint32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      // encode nibble count with a saturated prefix
+      uint32_t val = n_bypass;
+      while (val >= kMaxBypassVal) {
+        syms.push_back({kMaxBypassVal, kBypassPrecision, true});
+        val -= kMaxBypassVal;
+      }
+      syms.push_back({val, kBypassPrecision, true});
+      // encode the raw nibbles, LSB first
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        syms.push_back(
+            {(raw_val >> (j * kBypassPrecision)) & kMaxBypassVal,
+             kBypassPrecision, true});
+      }
+    }
+  }
+
+  // worst case: one 32-bit word per buffered op + 8-byte flush
+  const int64_t worst = static_cast<int64_t>(syms.size()) * 4 + 8;
+  if (out_cap < worst) return -1;
+
+  std::vector<uint32_t> buf(static_cast<size_t>(worst / 4) + 2);
+  uint32_t* ptr = buf.data() + buf.size();
+
+  Rans64State rans;
+  Rans64EncInit(&rans);
+  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
+    if (it->bypass) {
+      Rans64EncPutBits(&rans, &ptr, it->start, it->range);
+    } else {
+      Rans64EncPut(&rans, &ptr, it->start, it->range, kPrecision);
+    }
+  }
+  Rans64EncFlush(&rans, &ptr);
+
+  const int64_t nbytes =
+      static_cast<int64_t>(buf.data() + buf.size() - ptr) * 4;
+  if (nbytes > out_cap) return -1;
+  std::memcpy(out, ptr, static_cast<size_t>(nbytes));
+  return nbytes;
+}
+
+// Returns 0 on success, -1 on error. Writes n decoded values to out_symbols.
+int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
+                                 const int32_t* indexes, int64_t n,
+                                 const int32_t* cdfs, int32_t cdf_stride,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets, int32_t n_cdfs,
+                                 int32_t* out_symbols) {
+  if (nbytes < 8 || (nbytes % 4) != 0) return -1;
+  std::vector<uint32_t> buf(static_cast<size_t>(nbytes / 4) + 4, 0u);
+  std::memcpy(buf.data(), data, static_cast<size_t>(nbytes));
+  uint32_t* ptr = buf.data();
+
+  Rans64State rans;
+  Rans64DecInit(&rans, &ptr);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= n_cdfs) return -1;
+    const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    if (max_value < 0) return -1;
+
+    const uint32_t cum = Rans64DecGet(&rans, kPrecision);
+
+    // find s with cdf[s] <= cum < cdf[s+1]
+    int32_t lo = 0, hi = max_value;  // symbols 0..max_value inclusive
+    while (lo < hi) {
+      const int32_t mid = (lo + hi + 1) >> 1;
+      if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid;
+      else hi = mid - 1;
+    }
+    int32_t value = lo;
+
+    Rans64DecAdvance(&rans, &ptr, static_cast<uint32_t>(cdf[value]),
+                     static_cast<uint32_t>(cdf[value + 1] - cdf[value]),
+                     kPrecision);
+
+    if (value == max_value) {
+      uint32_t val = Rans64DecGetBits(&rans, &ptr, kBypassPrecision);
+      uint32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = Rans64DecGetBits(&rans, &ptr, kBypassPrecision);
+        n_bypass += val;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        val = Rans64DecGetBits(&rans, &ptr, kBypassPrecision);
+        raw_val |= val << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out_symbols[i] = value + offsets[idx];
+  }
+  return 0;
+}
+
+}  // extern "C"

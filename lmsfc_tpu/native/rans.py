@@ -1,0 +1,132 @@
+"""ctypes bindings for the native rANS coder (rans.cpp).
+
+The shared library is built on demand with g++ (no pybind11 in this
+toolchain; ctypes keeps the Python<->C++ boundary dependency-free). The
+`RansEncoder`/`RansDecoder` classes expose the CompressAI-compatible
+`encode_with_indexes` / `decode_with_indexes` API consumed by the entropy
+models (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "rans.cpp"
+_LIB = _HERE / "librans.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def ensure_built(force: bool = False) -> Path:
+    """Compile librans.so if missing or stale; returns its path."""
+    with _lock:
+        if force or not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            cmd = [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                str(_SRC), "-o", str(_LIB),
+            ]
+            subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        ensure_built()
+        lib = ctypes.CDLL(str(_LIB))
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.rans_encode_with_indexes.restype = ctypes.c_int64
+        lib.rans_encode_with_indexes.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p,
+            ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.rans_decode_with_indexes.restype = ctypes.c_int64
+        lib.rans_decode_with_indexes.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int32,
+            i32p, i32p, ctypes.c_int32, i32p,
+        ]
+        _lib = lib
+    return _lib
+
+
+def _i32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class RansEncoder:
+    def encode_with_indexes(
+        self,
+        symbols: Sequence[int],
+        indexes: Sequence[int],
+        cdfs: np.ndarray,
+        cdf_lengths: Sequence[int],
+        offsets: Sequence[int],
+    ) -> bytes:
+        lib = _load()
+        symbols = _i32(symbols).ravel()
+        indexes = _i32(indexes).ravel()
+        cdfs = _i32(cdfs)
+        cdf_lengths = _i32(cdf_lengths)
+        offsets = _i32(offsets)
+        assert symbols.shape == indexes.shape
+        n = symbols.size
+        # worst case ~ (1 symbol + ~11 bypass nibbles) words per symbol + flush
+        cap = 4 * (13 * n) + 64
+        out = np.empty(cap, dtype=np.uint8)
+        nbytes = lib.rans_encode_with_indexes(
+            _ptr(symbols, ctypes.c_int32), _ptr(indexes, ctypes.c_int32),
+            ctypes.c_int64(n), _ptr(cdfs, ctypes.c_int32),
+            ctypes.c_int32(cdfs.shape[1]), _ptr(cdf_lengths, ctypes.c_int32),
+            _ptr(offsets, ctypes.c_int32), ctypes.c_int32(cdfs.shape[0]),
+            _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
+        )
+        if nbytes < 0:
+            raise RuntimeError("rans_encode_with_indexes failed")
+        return out[:nbytes].tobytes()
+
+    # alias matching CompressAI's streamed API shape
+    encode = encode_with_indexes
+
+
+class RansDecoder:
+    def decode_with_indexes(
+        self,
+        data: bytes,
+        indexes: Sequence[int],
+        cdfs: np.ndarray,
+        cdf_lengths: Sequence[int],
+        offsets: Sequence[int],
+    ) -> np.ndarray:
+        lib = _load()
+        indexes = _i32(indexes).ravel()
+        cdfs = _i32(cdfs)
+        cdf_lengths = _i32(cdf_lengths)
+        offsets = _i32(offsets)
+        n = indexes.size
+        buf = np.frombuffer(data, dtype=np.uint8)
+        buf = np.ascontiguousarray(buf)
+        out = np.empty(n, dtype=np.int32)
+        rc = lib.rans_decode_with_indexes(
+            _ptr(buf, ctypes.c_uint8), ctypes.c_int64(buf.size),
+            _ptr(indexes, ctypes.c_int32), ctypes.c_int64(n),
+            _ptr(cdfs, ctypes.c_int32), ctypes.c_int32(cdfs.shape[1]),
+            _ptr(cdf_lengths, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+            ctypes.c_int32(cdfs.shape[0]), _ptr(out, ctypes.c_int32),
+        )
+        if rc != 0:
+            raise RuntimeError("rans_decode_with_indexes failed")
+        return out
+
+    decode = decode_with_indexes

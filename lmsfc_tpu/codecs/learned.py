@@ -1,0 +1,324 @@
+"""Learned L-MSFC-V2 feature codec plugin — the framework's flagship codec.
+
+Device side (jit, bfloat16, Pallas GDN): FENet analysis, hyperprior, DRNet
+synthesis. Host side: quantized-CDF tables + C++ rANS producing a REAL
+self-decodable bitstream (unlike the anchors, no fpn-sizes sideband needed:
+level names/shapes ride in the header).
+
+Bitstream layout (big-endian, via utils.readwrite — same writer family as
+the reference's anchor headers, codecs/encdec_utils/readwrite.py:50-91):
+
+  magic 'LMF2' | version u8 | n_levels u8 | n_frames u32
+  per level: name_len u8 | name ascii | C u32 | H u32 | W u32
+  y: H u32 | W u32 | C u32       z: H u32 | W u32 | C u32
+  per frame: z_len u32 | z_bytes | y_len u32 | y_bytes
+
+Registered as codec "lmsfc" with the standard encode/decode contract
+(ref codecs/base.py:61-119), so every pipeline runs unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.entropy_bottleneck import build_eb_cdf_table
+from ..entropy.gaussian_conditional import GaussianConditional, SCALES_TABLE
+from ..models.lmsfc import LMSFCv2
+from ..native import RansDecoder, RansEncoder
+from ..registry import register_codec
+from ..utils.readwrite import (
+    read_bytes,
+    read_uchars,
+    read_uints,
+    write_bytes,
+    write_uchars,
+    write_uints,
+)
+
+_MAGIC = b"LMF2"
+_VERSION = 1
+
+
+@register_codec("lmsfc")
+class LMSFCCodec:
+    def __init__(
+        self,
+        vision_model: Any = None,
+        dataset: Any = None,
+        eval_encode: str = "bpp",
+        qp: Optional[int] = None,
+        num_filters: int = 192,
+        latent_filters: int = 192,
+        hyper_filters: int = 128,
+        out_channels: Sequence[int] = (256, 256, 256, 256),
+        checkpoint_dir: Optional[str] = None,
+        params: Optional[Dict] = None,
+        seed: int = 0,
+        dtype: str = "bfloat16",
+        **kwargs,
+    ):
+        import logging
+
+        self.logger = logging.getLogger(self.__class__.__name__)
+        self.vision_model = vision_model
+        self.dataset = dataset
+        self.qp = qp
+        self.eval_encode = eval_encode
+        self.out_channels = tuple(out_channels)
+        self.model = LMSFCv2(
+            out_channels=self.out_channels,
+            num_filters=num_filters,
+            latent_filters=latent_filters,
+            hyper_filters=hyper_filters,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        )
+        self._params = params
+        self._checkpoint_dir = checkpoint_dir
+        self._seed = seed
+        self._gaussian = GaussianConditional()
+        self._gc_table = None
+        self._eb_table = None
+        self._enc = RansEncoder()
+        self._dec = RansDecoder()
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------ params
+    def _example_features(self) -> List[jax.Array]:
+        feats = []
+        h, w = 64, 64
+        for c in self.out_channels:
+            feats.append(jnp.zeros((1, h, w, c), jnp.float32))
+            h, w = -(-h // 2), -(-w // 2)
+        return feats
+
+    @property
+    def params(self) -> Dict:
+        if self._params is None:
+            if self._checkpoint_dir is not None:
+                from ..training.checkpoint import CheckpointManager
+
+                mgr = CheckpointManager(Path(self._checkpoint_dir))
+                restored = mgr.restore()
+                if restored is not None:
+                    self._params = restored["params"]
+            if self._params is None:
+                self.logger.warning("no checkpoint; initializing random codec params")
+                variables = self.model.init(
+                    {"params": jax.random.key(self._seed), "noise": jax.random.key(1)},
+                    self._example_features(),
+                )
+                self._params = variables["params"]
+        return self._params
+
+    # ------------------------------------------------------------- tables
+    def _tables(self):
+        if self._gc_table is None:
+            self._gc_table = self._gaussian.cdf_table()
+            self._eb_table = build_eb_cdf_table(
+                jax.tree_util.tree_map(np.asarray, self.params["entropy_bottleneck"])
+            )
+            self._eb_medians = np.asarray(self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
+        return self._gc_table, self._eb_table
+
+    # -------------------------------------------------------------- jit fns
+    def _analysis_fn(self, shapes: Tuple):
+        key = ("analysis", shapes)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fn(params, features):
+                return self.model.apply(
+                    {"params": params}, list(features), method=LMSFCv2.analysis
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _hyper_synthesis_fn(self, y_hw: Tuple[int, int]):
+        key = ("hsyn", y_hw)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fn(params, z_hat):
+                return self.model.apply(
+                    {"params": params}, z_hat, y_hw, method=LMSFCv2.hyper_synthesis
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _synthesis_fn(self, shapes_hw: Tuple[Tuple[int, int], ...]):
+        key = ("syn", shapes_hw)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fn(params, y_hat):
+                return self.model.apply(
+                    {"params": params}, y_hat, shapes_hw, method=LMSFCv2.synthesis
+                )
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    # --------------------------------------------------------------- encode
+    def encode(
+        self,
+        input: Dict,
+        codec_output_dir: str = "",
+        bitstream_name: str = "bitstream",
+        file_prefix: str = "",
+        img_input: bool = False,
+    ) -> Dict:
+        assert not img_input, "lmsfc is a feature codec (split-inference only)"
+        data: Dict[str, Any] = input["data"]
+        names = list(data.keys())
+        # NCHW -> NHWC, finest first (reference order is already finest first)
+        feats = [jnp.transpose(jnp.asarray(np.asarray(v)), (0, 2, 3, 1)) for v in data.values()]
+        n_frames = feats[0].shape[0]
+        level_shapes = [(f.shape[3], f.shape[1], f.shape[2]) for f in feats]  # C,H,W
+
+        analysis = self._analysis_fn(tuple(f.shape for f in feats))
+        y, z, _, _ = analysis(self.params, feats)
+        gc_table, eb_table = self._tables()
+
+        z_np = np.asarray(z, np.float32)
+        y_np = np.asarray(y, np.float32)
+        z_sym = np.round(z_np - self._eb_medians[None, None, None, :]).astype(np.int32)
+        z_idx = np.broadcast_to(
+            np.arange(z_np.shape[-1], dtype=np.int32), z_np.shape[1:]
+        )
+        # Gaussian params are recomputed per frame through the SAME jitted
+        # batch-1 hyper_synthesis the decoder uses: XLA is not bit-stable
+        # across batch shapes, and any scales/means mismatch desyncs rANS.
+        hyper_syn = self._hyper_synthesis_fn((y.shape[1], y.shape[2]))
+
+        out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        stem = f"{file_prefix}_" if file_prefix else ""
+        path = out_dir / f"{stem}{bitstream_name}.bin"
+
+        byte_sizes: List[int] = []
+        with open(path, "wb") as fd:
+            fd.write(_MAGIC)
+            write_uchars(fd, (_VERSION, len(names)))
+            write_uints(fd, (n_frames,))
+            for name, (c, h, w) in zip(names, level_shapes):
+                nb = name.encode("ascii")
+                write_uchars(fd, (len(nb),))
+                write_bytes(fd, nb)
+                write_uints(fd, (c, h, w))
+            write_uints(fd, (y.shape[1], y.shape[2], y.shape[3]))
+            write_uints(fd, (z.shape[1], z.shape[2], z.shape[3]))
+            header_bytes = fd.tell()
+
+            for f_idx in range(n_frames):
+                z_bytes = self._enc.encode_with_indexes(
+                    z_sym[f_idx].ravel(),
+                    z_idx.ravel(),
+                    eb_table.cdfs,
+                    eb_table.cdf_lengths,
+                    eb_table.offsets,
+                )
+                z_hat = z_sym[f_idx : f_idx + 1].astype(np.float32) + self._eb_medians[
+                    None, None, None, :
+                ]
+                scales, means = hyper_syn(self.params, jnp.asarray(z_hat))
+                scales_np = np.asarray(scales, np.float32)
+                means_np = np.asarray(means, np.float32)
+                y_sym = np.round(y_np[f_idx : f_idx + 1] - means_np).astype(np.int32)
+                y_idx = GaussianConditional.build_indexes(scales_np)
+                y_bytes = self._enc.encode_with_indexes(
+                    y_sym.ravel(),
+                    y_idx.ravel(),
+                    gc_table.cdfs,
+                    gc_table.cdf_lengths,
+                    gc_table.offsets,
+                )
+                write_uints(fd, (len(z_bytes),))
+                write_bytes(fd, z_bytes)
+                write_uints(fd, (len(y_bytes),))
+                write_bytes(fd, y_bytes)
+                byte_sizes.append(len(z_bytes) + len(y_bytes) + 8)
+
+        # amortize header over frames (reference amortizes its header too)
+        per_frame_header = header_bytes / n_frames
+        byte_sizes = [b + per_frame_header for b in byte_sizes]
+        return {"bytes": byte_sizes, "bitstream": str(path)}
+
+    # --------------------------------------------------------------- decode
+    def decode(
+        self,
+        input,
+        codec_output_dir: str = "",
+        file_prefix: str = "",
+        org_img_size: Optional[Dict] = None,
+        img_input: bool = False,
+    ) -> Dict:
+        path = Path(input if isinstance(input, (str, Path)) else input["bitstream"])
+        gc_table, eb_table = self._tables()
+
+        with open(path, "rb") as fd:
+            magic = fd.read(4)
+            assert magic == _MAGIC, f"bad magic {magic!r}"
+            version, n_levels = read_uchars(fd, 2)
+            assert version == _VERSION
+            (n_frames,) = read_uints(fd, 1)
+            names, level_shapes = [], []
+            for _ in range(n_levels):
+                (name_len,) = read_uchars(fd, 1)
+                names.append(read_bytes(fd, name_len).decode("ascii"))
+                c, h, w = read_uints(fd, 3)
+                level_shapes.append((c, h, w))
+            y_h, y_w, y_c = read_uints(fd, 3)
+            z_h, z_w, z_c = read_uints(fd, 3)
+
+            z_idx = np.broadcast_to(
+                np.arange(z_c, dtype=np.int32), (z_h, z_w, z_c)
+            ).ravel()
+            hyper_syn = self._hyper_synthesis_fn((y_h, y_w))
+            shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
+            synthesis = self._synthesis_fn(shapes_hw)
+
+            y_hat_frames = []
+            for _ in range(n_frames):
+                (z_len,) = read_uints(fd, 1)
+                z_bytes = read_bytes(fd, z_len)
+                (y_len,) = read_uints(fd, 1)
+                y_bytes = read_bytes(fd, y_len)
+
+                z_sym = self._dec.decode_with_indexes(
+                    z_bytes, z_idx, eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets
+                ).reshape(1, z_h, z_w, z_c)
+                z_hat = z_sym.astype(np.float32) + self._eb_medians[None, None, None, :]
+
+                scales, means = hyper_syn(self.params, jnp.asarray(z_hat))
+                scales_np = np.asarray(scales, np.float32)
+                means_np = np.asarray(means, np.float32)
+                y_idx = GaussianConditional.build_indexes(scales_np).ravel()
+                y_sym = self._dec.decode_with_indexes(
+                    y_bytes, y_idx, gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets
+                ).reshape(1, y_h, y_w, y_c)
+                y_hat = y_sym.astype(np.float32) + means_np
+                y_hat_frames.append(y_hat)
+
+        y_hat_all = jnp.asarray(np.concatenate(y_hat_frames, axis=0))
+        recon = synthesis(self.params, y_hat_all)
+        data = {
+            name: jnp.transpose(r, (0, 3, 1, 2))
+            for name, r in zip(names, recon)
+        }
+        return {"data": data}
+
+    @property
+    def qp_value(self):
+        return self.qp
+
+    @property
+    def eval_encode_type(self):
+        return self.eval_encode

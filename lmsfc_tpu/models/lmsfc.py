@@ -1,0 +1,192 @@
+"""L-MSFC-V2 learned multi-scale feature codec (FENet / DRNet), TPU-first.
+
+Re-creation of the codec the north star targets (BASELINE.json:5; the
+reference's fork delta trains L-MSFC analysis/synthesis transforms + feature
+fusion + GDN/IGDN with EntropyBottleneck/GaussianConditional entropy models,
+SURVEY.md §2.9). Architecture is designed for the MXU, not translated:
+
+  FENet (analysis):  bottom-up fusion of the FPN pyramid. The finest level is
+    downsampled with a strided 5x5 conv + GDN, concatenated with the next
+    level, repeated to the coarsest scale, then one more strided conv emits
+    the latent y (M channels, 1/2 the coarsest-level resolution). All convs
+    NHWC bfloat16 -> MXU; GDN runs as the fused Pallas kernel.
+
+  Hyperprior:  h_a (conv s1, conv s2, conv s2) -> z; factorized
+    EntropyBottleneck on z; h_s (resize-conv x2) -> per-element (scales,
+    means) for a mean-scale GaussianConditional on y.
+
+  DRNet (synthesis): shared trunk from y_hat upsampled level-by-level with
+    resize-conv + IGDN; a per-level projection head emits each reconstructed
+    pyramid level at its exact original (static) shape.
+
+Supports arbitrary pyramids: Faster/Mask R-CNN FPN {p2..p5, 256ch each} and
+JDE Darknet splits {256,512,1024}ch at 3 scales (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..entropy.entropy_bottleneck import EntropyBottleneck
+from ..entropy.gaussian_conditional import GaussianConditional
+from .layers import ConvBlock, UpConvBlock, resize_to
+
+
+def _halve(h: int, w: int) -> Tuple[int, int]:
+    return -(-h // 2), -(-w // 2)
+
+
+class FENet(nn.Module):
+    """Analysis transform: pyramid {finest..coarsest} -> latent y."""
+
+    num_filters: int = 192  # N
+    latent_filters: int = 192  # M
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features: Sequence[jax.Array]) -> jax.Array:
+        """features: list ordered finest -> coarsest, NHWC."""
+        n = self.num_filters
+        x = ConvBlock(n, 5, 2, gdn="gdn", dtype=self.dtype, name="down0")(
+            features[0].astype(self.dtype)
+        )
+        for i, feat in enumerate(features[1:], start=1):
+            f = feat.astype(self.dtype)
+            # align (ceil-division stride can overshoot odd sizes by 1 pixel)
+            x = resize_to(x, f.shape[1:3])
+            x = jnp.concatenate([x, f], axis=-1)
+            x = ConvBlock(n, 5, 2, gdn="gdn", dtype=self.dtype, name=f"down{i}")(x)
+        y = ConvBlock(self.latent_filters, 5, 1, dtype=self.dtype, name="to_latent")(x)
+        return y.astype(jnp.float32)
+
+
+class HyperEncoder(nn.Module):
+    num_filters: int = 192
+    hyper_filters: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        h = self.hyper_filters
+        x = ConvBlock(h, 3, 1, act=nn.relu, dtype=self.dtype, name="h0")(
+            jnp.abs(y).astype(self.dtype)
+        )
+        x = ConvBlock(h, 5, 2, act=nn.relu, dtype=self.dtype, name="h1")(x)
+        x = ConvBlock(h, 5, 2, dtype=self.dtype, name="h2")(x)
+        return x.astype(jnp.float32)
+
+
+class HyperDecoder(nn.Module):
+    latent_filters: int = 192
+    hyper_filters: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z_hat: jax.Array, y_hw: Tuple[int, int]) -> Tuple[jax.Array, jax.Array]:
+        h, m = self.hyper_filters, self.latent_filters
+        mid_hw = _halve(*y_hw)
+        x = UpConvBlock(h, 5, act=nn.relu, dtype=self.dtype, name="u0")(
+            z_hat.astype(self.dtype), mid_hw
+        )
+        x = UpConvBlock(h * 3 // 2, 5, act=nn.relu, dtype=self.dtype, name="u1")(x, y_hw)
+        x = ConvBlock(2 * m, 3, 1, dtype=self.dtype, name="to_params")(x)
+        x = x.astype(jnp.float32)
+        scales, means = jnp.split(x, 2, axis=-1)
+        return scales, means
+
+
+class DRNet(nn.Module):
+    """Synthesis transform: y_hat -> reconstructed pyramid (exact shapes)."""
+
+    out_channels: Sequence[int] = (256, 256, 256, 256)  # finest -> coarsest
+    num_filters: int = 192
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, y_hat: jax.Array, shapes_hw: Sequence[Tuple[int, int]]
+    ) -> List[jax.Array]:
+        """shapes_hw ordered finest -> coarsest; returns same order."""
+        n = self.num_filters
+        num_levels = len(shapes_hw)
+        assert len(self.out_channels) == num_levels
+
+        x = y_hat.astype(self.dtype)
+        recons: List[Optional[jax.Array]] = [None] * num_levels
+        # walk coarsest -> finest
+        for lvl in range(num_levels - 1, -1, -1):
+            x = UpConvBlock(n, 5, gdn="igdn", dtype=self.dtype, name=f"up{lvl}")(
+                x, shapes_hw[lvl]
+            )
+            recons[lvl] = (
+                ConvBlock(self.out_channels[lvl], 3, 1, dtype=self.dtype, name=f"head{lvl}")(x)
+            ).astype(jnp.float32)
+        return recons  # type: ignore[return-value]
+
+
+class LMSFCv2(nn.Module):
+    """Full codec: forward pass returns reconstructions + likelihoods.
+
+    Input/output feature layout is NHWC lists ordered finest -> coarsest.
+    """
+
+    out_channels: Sequence[int] = (256, 256, 256, 256)
+    num_filters: int = 192
+    latent_filters: int = 192
+    hyper_filters: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.fenet = FENet(self.num_filters, self.latent_filters, self.dtype)
+        self.h_a = HyperEncoder(self.latent_filters, self.hyper_filters, self.dtype)
+        self.h_s = HyperDecoder(self.latent_filters, self.hyper_filters, self.dtype)
+        self.drnet = DRNet(self.out_channels, self.num_filters, self.dtype)
+        self.entropy_bottleneck = EntropyBottleneck(channels=self.hyper_filters)
+        self.gaussian = GaussianConditional()
+
+    def __call__(
+        self, features: Sequence[jax.Array], training: bool = True
+    ) -> Dict[str, object]:
+        y = self.fenet(features)
+        z = self.h_a(y)
+
+        if training:
+            rng_z = self.make_rng("noise")
+            rng_y = self.make_rng("noise")
+        else:
+            rng_z = rng_y = None
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training, rng=rng_z)
+        scales, means = self.h_s(z_hat, y.shape[1:3])
+        y_hat, y_likelihoods = self.gaussian(
+            y, scales, means, training=training, rng=rng_y
+        )
+        shapes_hw = [f.shape[1:3] for f in features]
+        recon = self.drnet(y_hat, shapes_hw)
+        return {
+            "features_hat": recon,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+            "latents": {"y": y, "y_hat": y_hat, "z": z, "z_hat": z_hat,
+                        "scales": scales, "means": means},
+        }
+
+    def aux_loss(self) -> jax.Array:
+        return self.entropy_bottleneck.aux_loss()
+
+    # ---------------------------------------------------------------- codec
+    def analysis(self, features: Sequence[jax.Array]):
+        """Deterministic encode-side compute: y, z, z_hat, gaussian params."""
+        y = self.fenet(features)
+        z = self.h_a(y)
+        z_hat, _ = self.entropy_bottleneck(z, training=False)
+        scales, means = self.h_s(z_hat, y.shape[1:3])
+        return y, z, scales, means
+
+    def synthesis(self, y_hat: jax.Array, shapes_hw: Sequence[Tuple[int, int]]):
+        return self.drnet(y_hat, shapes_hw)
+
+    def hyper_synthesis(self, z_hat: jax.Array, y_hw: Tuple[int, int]):
+        return self.h_s(z_hat, y_hw)

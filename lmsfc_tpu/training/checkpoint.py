@@ -1,0 +1,40 @@
+"""Orbax checkpointing for RD training (north-star requirement: real training
+checkpoints on top of the reference's artifact-caching pattern, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: Path, max_to_keep: int = 3):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, params: Any, opt_state: Any = None, metrics: Optional[dict] = None) -> None:
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        self._mgr.save(step, args=ocp.args.StandardSave(payload), metrics=metrics)
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step)
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()

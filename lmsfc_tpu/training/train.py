@@ -1,0 +1,110 @@
+"""Jitted RD train step, sharded over a data-parallel mesh via NamedSharding.
+
+Replaces the (absent) torch training loop of the reference fork with the TPU
+recipe: params/opt-state replicated, batch sharded on the `dp` mesh axis, XLA
+inserts the gradient all-reduce. Quantile parameters of the entropy
+bottleneck are trained by the auxiliary loss only (CompressAI's two-optimizer
+split, realized here through stop_gradient structure + a single optimizer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.lmsfc import LMSFCv2
+from .rd import rd_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+
+
+def create_train_state(
+    model: LMSFCv2,
+    example_features: Sequence[jax.Array],
+    learning_rate: float = 1e-4,
+    aux_learning_rate: float = 1e-3,
+    seed: int = 0,
+) -> TrainState:
+    rngs = {"params": jax.random.key(seed), "noise": jax.random.key(seed + 1)}
+    variables = model.init(rngs, list(example_features), training=True)
+    params = variables["params"]
+
+    # quantiles (aux) get a higher LR, mirroring CompressAI's aux optimizer
+    def label_fn(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "aux"
+            if any(getattr(p, "key", None) == "quantiles" for p in path)
+            else "main",
+            tree,
+        )
+
+    tx = optax.multi_transform(
+        {"main": optax.adam(learning_rate), "aux": optax.adam(aux_learning_rate)},
+        label_fn,
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_train_step(
+    model: LMSFCv2,
+    lmbda: float,
+    mesh: Optional[Mesh] = None,
+    finest_stride: int = 4,
+) -> Callable:
+    """Returns jitted (state, features, rng) -> (state, metrics).
+
+    features: list of NHWC levels (finest first), batch axis sharded on `dp`
+    when a mesh is given.
+    """
+
+    def step(state: TrainState, features, rng):
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, list(features), training=True, rngs={"noise": rng}
+            )
+            losses = rd_loss(out, list(features), lmbda, finest_stride=finest_stride)
+            aux = model.apply({"params": params}, method=LMSFCv2.aux_loss)
+            total = losses["loss"] + aux
+            metrics = {**losses, "aux": aux}
+            return total, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P("dp"))
+    # shardings per-argument: state replicated, features dp-sharded, rng replicated
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sharding, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,213 @@
+"""RPN + ROI heads for the Faster/Mask R-CNN split — NN-Part2 compute.
+
+Functional re-creation of the Detectron2 inference path the reference resumes
+decoder-side (compressai_vision/model_wrappers/detectron2.py:111-147:
+p6 = top_block(p5) -> RPN proposals -> ROI heads -> postprocess), with
+fixed-shape XLA formulations: top-k + masked greedy NMS instead of dynamic
+filtering (SURVEY.md §7 hard part 2).
+
+Detectron2 config constants baked in (faster/mask_rcnn_R_50_FPN_3x):
+anchor sizes 32..512 (one per level p2..p6), ratios (0.5,1,2), RPN pre/post
+NMS topk 1000 (test), NMS 0.7; box head 2xFC-1024, deltas weights
+(10,10,5,5), score 0.05, class NMS 0.5, 100 detections; mask head 4xconv +
+deconv, 28x28.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import batched_nms_fixed, clip_boxes, decode_boxes, nms_fixed
+from ..ops.roi_align import assign_levels, roi_align_pyramid
+
+ANCHOR_SIZES = (32, 64, 128, 256, 512)  # p2..p6
+ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+RPN_PRE_NMS_TOPK = 1000
+RPN_POST_NMS_TOPK = 1000
+RPN_NMS_THRESH = 0.7
+BOX_DELTA_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+SCORE_THRESH = 0.05
+CLASS_NMS_THRESH = 0.5
+MAX_DETECTIONS = 100
+NUM_CLASSES = 80
+
+
+def anchors_for_level(h: int, w: int, stride: int, size: int) -> np.ndarray:
+    """[h*w*A, 4] anchors, Detectron2 convention (offset 0, centers i*stride)."""
+    base = []
+    area = float(size * size)
+    for ar in ANCHOR_RATIOS:
+        bw = np.sqrt(area / ar)
+        bh = bw * ar
+        base.append([-bw / 2, -bh / 2, bw / 2, bh / 2])
+    base = np.asarray(base, np.float32)  # [A,4]
+    shift_x = np.arange(w, dtype=np.float32) * stride
+    shift_y = np.arange(h, dtype=np.float32) * stride
+    sx, sy = np.meshgrid(shift_x, shift_y)
+    shifts = np.stack([sx.ravel(), sy.ravel(), sx.ravel(), sy.ravel()], axis=1)
+    anchors = shifts[:, None, :] + base[None, :, :]
+    return anchors.reshape(-1, 4)
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + objectness / anchor-delta 1x1s (per level)."""
+
+    num_anchors: int = len(ANCHOR_RATIOS)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")
+        obj = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="objectness_logits")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="anchor_deltas")
+        logits, regs = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            logits.append(obj(t))
+            regs.append(deltas(t))
+        return logits, regs
+
+
+def rpn_proposals(
+    logits: Sequence[jax.Array],
+    regs: Sequence[jax.Array],
+    level_shapes: Sequence[Tuple[int, int]],
+    image_hw: Tuple[int, int],
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-image proposal generation. Returns (boxes [K,4], scores [K])
+    with K = RPN_POST_NMS_TOPK; invalid entries have score -inf."""
+    all_boxes, all_scores, all_lvl = [], [], []
+    for lvl, (lg, rg, (h, w)) in enumerate(zip(logits, regs, level_shapes)):
+        stride = 2 ** (lvl + 2)
+        anchors = jnp.asarray(anchors_for_level(h, w, stride, ANCHOR_SIZES[lvl]))
+        scores = lg.reshape(-1)
+        deltas = rg.reshape(-1, 4)
+        k = min(RPN_PRE_NMS_TOPK, scores.shape[0])
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        boxes = decode_boxes(deltas[top_idx], anchors[top_idx])
+        boxes = clip_boxes(boxes, image_hw)
+        # filter degenerate boxes (D2 removes < 0-size boxes)
+        wh_ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        top_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
+        all_boxes.append(boxes)
+        all_scores.append(top_scores)
+        all_lvl.append(jnp.full((k,), lvl, jnp.int32))
+
+    boxes = jnp.concatenate(all_boxes, axis=0)
+    scores = jnp.concatenate(all_scores, axis=0)
+    lvls = jnp.concatenate(all_lvl, axis=0)
+    # D2 runs NMS per level (batched over the level index)
+    keep, valid = batched_nms_fixed(boxes, scores, lvls, RPN_NMS_THRESH, RPN_POST_NMS_TOPK)
+    keep_safe = jnp.maximum(keep, 0)
+    out_boxes = boxes[keep_safe]
+    out_scores = jnp.where(valid, scores[keep_safe], -jnp.inf)
+    return out_boxes, out_scores
+
+
+class BoxHead(nn.Module):
+    """2x FC-1024 + class scores / class-specific box deltas."""
+
+    num_classes: int = NUM_CLASSES
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        r = x.shape[0]
+        t = x.reshape(r, -1)
+        t = nn.relu(nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(t))
+        t = nn.relu(nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(t))
+        scores = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="cls_score")(t)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="bbox_pred")(t)
+        return scores, deltas
+
+
+class MaskHead(nn.Module):
+    """4x conv-256 + 2x deconv + 1x1 -> per-class 28x28 logits."""
+
+    num_classes: int = NUM_CLASSES
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        t = x
+        for i in range(4):
+            t = nn.relu(
+                nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"mask_fcn{i+1}")(t)
+            )
+        t = nn.relu(
+            nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=self.dtype,
+                             param_dtype=jnp.float32, name="deconv")(t)
+        )
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="predictor")(t)
+
+
+def box_inference(
+    scores_logits: jax.Array,
+    deltas: jax.Array,
+    proposals: jax.Array,
+    proposal_valid: jax.Array,
+    image_hw: Tuple[int, int],
+    num_classes: int = NUM_CLASSES,
+    max_det: int = MAX_DETECTIONS,
+):
+    """Fast R-CNN inference: per-class decode + score filter + class NMS.
+
+    Returns dict of fixed-size arrays: boxes [max_det,4], scores [max_det],
+    classes [max_det], valid [max_det].
+    """
+    r = proposals.shape[0]
+    probs = jax.nn.softmax(scores_logits, axis=-1)[:, :num_classes]  # drop bg
+    boxes_all = decode_boxes(
+        deltas.reshape(r, num_classes, 4),
+        jnp.broadcast_to(proposals[:, None, :], (r, num_classes, 4)),
+        weights=BOX_DELTA_WEIGHTS,
+    )
+    boxes_all = clip_boxes(boxes_all, image_hw)
+
+    flat_scores = jnp.where(
+        proposal_valid[:, None], probs, 0.0
+    ).reshape(-1)
+    flat_scores = jnp.where(flat_scores > SCORE_THRESH, flat_scores, -jnp.inf)
+    flat_boxes = boxes_all.reshape(-1, 4)
+    flat_classes = jnp.broadcast_to(
+        jnp.arange(num_classes, dtype=jnp.int32)[None, :], (r, num_classes)
+    ).reshape(-1)
+
+    # prune to a workable candidate set before the O(K^2) NMS
+    k = min(4 * max_det, flat_scores.shape[0])
+    cand_scores, cand_idx = jax.lax.top_k(flat_scores, k)
+    cand_boxes = flat_boxes[cand_idx]
+    cand_classes = flat_classes[cand_idx]
+
+    keep, valid = batched_nms_fixed(
+        cand_boxes, cand_scores, cand_classes, CLASS_NMS_THRESH, max_det
+    )
+    keep_safe = jnp.maximum(keep, 0)
+    return {
+        "boxes": cand_boxes[keep_safe],
+        "scores": jnp.where(valid, cand_scores[keep_safe], 0.0),
+        "classes": cand_classes[keep_safe],
+        "valid": valid,
+    }
+
+
+def rescale_boxes(
+    boxes: jax.Array, current_hw: Tuple[int, int], original_hw: Tuple[int, int]
+) -> jax.Array:
+    """D2 detector_postprocess: scale boxes back to the original image size."""
+    sx = original_hw[1] / current_hw[1]
+    sy = original_hw[0] / current_hw[0]
+    out = boxes * jnp.asarray([sx, sy, sx, sy], boxes.dtype)
+    return clip_boxes(out, original_hw)

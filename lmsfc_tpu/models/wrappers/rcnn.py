@@ -1,0 +1,228 @@
+"""Faster/Mask R-CNN R-50 FPN split wrapper (NN-Part1 / NN-Part2) in JAX.
+
+Re-creation of the reference's Detectron2 wrapper
+(compressai_vision/model_wrappers/detectron2.py:57-298):
+
+  NN-Part1 `input_to_features`: caffe-BGR normalize -> ResNet-50+FPN ->
+      {p2..p5}, p6 DROPPED from the coded features (ref :96-102).
+  NN-Part2 `features_to_output`: p6 = maxpool(p5) recomputed, RPN proposals,
+      ROIAlign + box head (+ mask head), rescale to original size
+      (ref :111-147).
+
+TPU design: both halves are jit-compiled per input geometry (static shapes;
+variable-size images are padded to a 32-divisible bucket, with the true
+image size carried for clipping/rescale — SURVEY.md §7 hard part 4). Weights
+convert mechanically from the Detectron2 pickles pinned by the reference's
+installer (scripts/install.sh:103-121) via torch_weights.py; random init
+otherwise (architecture validation only).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...registry import register_vision_model
+from ..rcnn_heads import (
+    BoxHead,
+    MaskHead,
+    RPNHead,
+    box_inference,
+    rescale_boxes,
+    rpn_proposals,
+)
+from ..resnet_fpn import ResNetFPN, top_block_p6
+from ...ops.roi_align import assign_levels, roi_align_pyramid
+from .base_wrapper import BaseWrapper
+
+# Detectron2 caffe-style preprocessing (BGR, mean only)
+PIXEL_MEAN_BGR = np.array([103.530, 116.280, 123.675], np.float32)
+SIZE_DIVISIBILITY = 32
+
+
+class _RCNNPart2(nn.Module):
+    """RPN + ROI heads as one Flax module (single image)."""
+
+    with_mask: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.rpn_head = RPNHead(dtype=self.dtype)
+        self.box_head = BoxHead(dtype=self.dtype)
+        if self.with_mask:
+            self.mask_head = MaskHead(dtype=self.dtype)
+
+    def __call__(
+        self,
+        pyramid: Sequence[jax.Array],  # [p2..p5] each [1,H,W,256]
+        image_hw: Tuple[int, int],
+    ) -> Dict[str, jax.Array]:
+        p6 = top_block_p6(pyramid[3])
+        rpn_feats = list(pyramid) + [p6]
+        logits, regs = self.rpn_head(rpn_feats)
+        level_shapes = [(f.shape[1], f.shape[2]) for f in rpn_feats]
+        boxes, scores = rpn_proposals(logits, regs, level_shapes, image_hw)
+        valid = scores > -jnp.inf
+
+        levels = assign_levels(boxes)
+        roi_feats = roi_align_pyramid(pyramid, boxes, levels, output_size=7)
+        cls_logits, deltas = self.box_head(roi_feats)
+        det = box_inference(cls_logits, deltas, boxes, valid, image_hw)
+
+        if self.with_mask:
+            mlevels = assign_levels(det["boxes"])
+            mfeats = roi_align_pyramid(pyramid, det["boxes"], mlevels, output_size=14)
+            mask_logits = self.mask_head(mfeats)  # [100,28,28,K]
+            cls = det["classes"]
+            det["masks"] = jax.nn.sigmoid(
+                jnp.take_along_axis(
+                    mask_logits, cls[:, None, None, None], axis=-1
+                )[..., 0]
+            )
+        return det
+
+
+class _RCNNWrapper(BaseWrapper):
+    with_mask = False
+    arch_name = "faster_rcnn_R_50_FPN_3x"
+
+    def __init__(
+        self,
+        weights: Optional[str] = None,
+        device: str = "tpu",
+        splits: Sequence[str] = ("p2", "p3", "p4", "p5"),
+        **kwargs,
+    ):
+        self.backbone = ResNetFPN()
+        self.part2 = _RCNNPart2(with_mask=self.with_mask)
+        self._splits = list(splits)
+        self._params_backbone = None
+        self._params_part2 = None
+        self._weights_path = weights
+        self._jit_cache: Dict = {}
+        self._init_params()
+
+    # ----------------------------------------------------------- parameters
+    def _init_params(self):
+        if self._weights_path and Path(self._weights_path).exists():
+            from .torch_weights import load_detectron2_weights
+
+            self._params_backbone, self._params_part2 = load_detectron2_weights(
+                self._weights_path, with_mask=self.with_mask
+            )
+            return
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        self._params_backbone = self.backbone.init(jax.random.key(0), x)["params"]
+        pyr = [jnp.zeros((1, 16 // (2**i) + 1, 16 // (2**i) + 1, 256), jnp.float32) for i in range(4)]
+        self._params_part2 = self.part2.init(jax.random.key(1), pyr, (64, 64))["params"]
+
+    @property
+    def split_layer_list(self) -> List[str]:
+        return self._splits
+
+    # ------------------------------------------------------------ NN-Part1
+    def preprocess(self, imgs_bgr: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """[N,H,W,3] BGR uint8 -> padded float NHWC + true (H,W)."""
+        x = imgs_bgr.astype(np.float32) - PIXEL_MEAN_BGR
+        n, h, w, _ = x.shape
+        ph = -(-h // SIZE_DIVISIBILITY) * SIZE_DIVISIBILITY
+        pw = -(-w // SIZE_DIVISIBILITY) * SIZE_DIVISIBILITY
+        if (ph, pw) != (h, w):
+            x = np.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+        return x, (h, w)
+
+    def _backbone_fn(self, shape):
+        key = ("bb", shape)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fn(params, x):
+                out = self.backbone.apply({"params": params}, x, method=ResNetFPN.pyramid_no_p6)
+                return out
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def input_to_features(self, x: List[Dict], device: str = "tpu") -> Dict:
+        """x: list of samples with 'image' [3,H,W] float BGR (0-255 caffe) or
+        'image_bgr' HWC uint8. Returns {"data": {p2..p5: [N,C,H,W]}, ...}."""
+        imgs = []
+        for sample in x:
+            img = sample.get("image_bgr")
+            if img is None:
+                chw = np.asarray(sample["image"])
+                img = np.transpose(chw, (1, 2, 0))
+            imgs.append(np.asarray(img))
+        batch = np.stack(imgs)
+        xpad, (h, w) = self.preprocess(batch)
+        fn = self._backbone_fn(xpad.shape)
+        pyr = fn(self._params_backbone, jnp.asarray(xpad))
+        data = {k: jnp.transpose(v, (0, 3, 1, 2)) for k, v in pyr.items() if k in self._splits}
+        return {
+            "data": data,
+            "input_size": [(h, w)],
+            "org_input_size": x[0].get("org_input_size", {"height": h, "width": w}),
+        }
+
+    # ------------------------------------------------------------ NN-Part2
+    def _part2_fn(self, shapes):
+        key = ("p2", shapes)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fn(params, pyramid, image_hw):
+                return self.part2.apply({"params": params}, pyramid, image_hw)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def features_to_output(self, x: Dict, device: str = "tpu") -> List[Dict]:
+        data = x["data"]
+        h, w = x["input_size"][0]
+        org = x.get("org_input_size", {"height": h, "width": w})
+        oh, ow = org["height"], org["width"]
+
+        pyr_batched = [jnp.transpose(jnp.asarray(np.asarray(data[k])), (0, 2, 3, 1)) for k in self._splits]
+        n = pyr_batched[0].shape[0]
+        results = []
+        for i in range(n):
+            pyramid = tuple(p[i : i + 1] for p in pyr_batched)
+            fn = self._part2_fn(tuple(p.shape for p in pyramid))
+            det = fn(self._params_part2, pyramid, (h, w))
+            boxes = rescale_boxes(det["boxes"], (h, w), (oh, ow))
+            valid = np.asarray(det["valid"])
+            res = {
+                "boxes": np.asarray(boxes)[valid],
+                "scores": np.asarray(det["scores"])[valid],
+                "classes": np.asarray(det["classes"])[valid],
+                "image_size": (oh, ow),
+            }
+            if "masks" in det:
+                res["masks_28"] = np.asarray(det["masks"])[valid]
+            results.append(res)
+        return results
+
+    def deeper_features_for_accuracy_proxy(self, x: Dict) -> Any:
+        """Proposal-level tensors as a cheap accuracy proxy (ref :150-175)."""
+        raise NotImplementedError("accuracy-proxy loss lands with RD task training")
+
+    def forward(self, x):
+        feats = self.input_to_features(x)
+        return self.features_to_output(feats)
+
+
+@register_vision_model("faster_rcnn_R_50_FPN_3x")
+class FasterRCNNFPN(_RCNNWrapper):
+    with_mask = False
+    arch_name = "faster_rcnn_R_50_FPN_3x"
+
+
+@register_vision_model("mask_rcnn_R_50_FPN_3x")
+class MaskRCNNFPN(_RCNNWrapper):
+    with_mask = True
+    arch_name = "mask_rcnn_R_50_FPN_3x"

@@ -57,15 +57,19 @@ def main() -> None:
         s = sum(jnp.sum(r) for r in out["features_hat"])
         return bits, s
 
-    # warmup/compile
+    # warmup/compile (float() readback is the only reliable barrier through
+    # the axon relay — its block_until_ready returns before execution ends)
     b, s = codec_step(params, feats)
-    jax.block_until_ready((b, s))
+    _ = float(b) + float(s)
 
     iters = 20
     t0 = time.perf_counter()
+    tot = None
     for _ in range(iters):
         b, s = codec_step(params, feats)
-    jax.block_until_ready((b, s))
+        # chain results on device so the final readback is a true barrier
+        tot = b + s if tot is None else tot + b + s
+    _ = float(tot)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -55,6 +55,8 @@ def create_evaluator(conf: Config, datacatalog: Any = None, dataset: Any = None)
     if ev_type not in EVALUATORS:
         raise KeyError(f"unknown evaluator {ev_type!r}; have {sorted(EVALUATORS)}")
     kwargs = conf.get("settings", Config()).to_dict(resolve=True)
+    if "criteria" in conf:
+        kwargs.setdefault("criteria", conf.criteria)
     return EVALUATORS[ev_type](datacatalog=datacatalog, dataset=dataset, **kwargs)
 
 

@@ -1,0 +1,5 @@
+from .base_evaluator import BaseEvaluator
+from .coco import COCOEval
+from .mot import MOTEval
+
+__all__ = ["BaseEvaluator", "COCOEval", "MOTEval"]

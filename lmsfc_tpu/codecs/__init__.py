@@ -2,3 +2,5 @@ from .base import BaseCodec, Bypass
 from .learned import LMSFCCodec
 
 __all__ = ["BaseCodec", "Bypass", "LMSFCCodec"]
+from .std_codecs import HM, VTM, VVENC  # noqa: F401,E402
+from .ffmpeg import X264, X265  # noqa: F401,E402

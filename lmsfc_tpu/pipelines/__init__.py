@@ -1,4 +1,12 @@
 from .base import BasePipeline, Parts
+from .remote_inference import ImageRemoteInference, VideoRemoteInference
 from .split_inference import ImageSplitInference, VideoSplitInference
 
-__all__ = ["BasePipeline", "Parts", "ImageSplitInference", "VideoSplitInference"]
+__all__ = [
+    "BasePipeline",
+    "Parts",
+    "ImageSplitInference",
+    "VideoSplitInference",
+    "ImageRemoteInference",
+    "VideoRemoteInference",
+]

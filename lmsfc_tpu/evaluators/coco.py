@@ -173,3 +173,23 @@ class COCOEval(BaseEvaluator):
         }
         self._dump(out, save_path)
         return out
+
+
+    # ------------------------------------------------- cross-sequence merge
+    def save_state(self, path) -> None:
+        """Persist accumulated per-image records for offline re-aggregation
+        (ref MOT prediction stash, evaluators.py:498-505; consumed by the
+        overall-mAP tool like utils/compute_overall_map.py:89-183)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self._images, f)
+
+    def load_state(self, path) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            self._images.extend(pickle.load(f))
+
+    def merge(self, other: "COCOEval") -> None:
+        self._images.extend(other._images)

@@ -1,0 +1,125 @@
+"""RD training CLI: multi-rate-point L-MSFC-V2 training on a dp mesh.
+
+The reference fork's (absent) training loop, TPU-native (SURVEY.md §2.9,
+§7 phase 4): lambda*MSE+bpp per rate point, Adam + aux Adam, orbax
+checkpoints per rate point, data-parallel mesh over all local devices.
+
+CLI:
+  python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml \
+      [training.steps=N training.lmbdas='[0.0125,0.025]' ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config
+from ..models import LMSFCv2
+from ..parallel import make_mesh
+from ..training import create_train_state, make_train_step
+from ..training.checkpoint import CheckpointManager
+from ..training.data import FeatureDumpSource, SyntheticSource
+
+# FCM CTTC-style 4 rate points (lambda ascending = quality ascending)
+DEFAULT_LMBDAS = (0.0125, 0.025, 0.05, 0.1)
+
+
+def train_rate_point(
+    conf: Config, lmbda: float, ckpt_dir: Path, mesh=None
+) -> dict:
+    t = conf.training
+    channels = tuple(t.get("channels", (256, 256, 256, 256)))
+    model = LMSFCv2(
+        out_channels=channels,
+        num_filters=t.get("num_filters", 192),
+        latent_filters=t.get("latent_filters", 192),
+        hyper_filters=t.get("hyper_filters", 128),
+        dtype=jnp.bfloat16 if t.get("dtype", "bfloat16") == "bfloat16" else jnp.float32,
+    )
+    batch = t.get("batch", 8)
+    base_hw = tuple(t.get("base_hw", (64, 64)))
+
+    dump_dir = t.get("feature_dump_dir")
+    if dump_dir:
+        source = FeatureDumpSource(Path(dump_dir), batch, base_hw, seed=t.get("seed", 0))
+    else:
+        source = SyntheticSource(batch, base_hw, channels, seed=t.get("seed", 0))
+    data_iter = iter(source)
+
+    example = [jnp.asarray(f[:1]) for f in next(data_iter)]
+    state = create_train_state(
+        model, example,
+        learning_rate=t.get("learning_rate", 1e-4),
+        aux_learning_rate=t.get("aux_learning_rate", 1e-3),
+        seed=t.get("seed", 0),
+    )
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=t.get("max_to_keep", 3))
+    start_step = 0
+    restored = mgr.restore(template={"params": state.params, "opt_state": state.opt_state})
+    if restored is not None:
+        state = state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.asarray(mgr.latest_step, jnp.int32),
+        )
+        start_step = int(mgr.latest_step)
+        print(f"resumed from step {start_step}")
+
+    step_fn = make_train_step(model, lmbda=lmbda, mesh=mesh)
+    steps = t.get("steps", 100)
+    log_every = t.get("log_every", 50)
+    ckpt_every = t.get("ckpt_every", 500)
+    key = jax.random.key(t.get("seed", 0) + 17)
+
+    metrics = {}
+    t0 = time.perf_counter()
+    for step_i in range(start_step, steps):
+        feats = [jnp.asarray(f) for f in next(data_iter)]
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, feats, sub)
+        if (step_i + 1) % log_every == 0 or step_i + 1 == steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = (step_i + 1 - start_step) * batch / (time.perf_counter() - t0)
+            print(
+                f"[lmbda={lmbda}] step {step_i+1}/{steps} "
+                f"loss={m['loss']:.4f} mse={m['mse']:.4f} bpp={m['bpp']:.4f} "
+                f"aux={m['aux']:.1f} ({rate:.1f} feat/s)"
+            )
+        if (step_i + 1) % ckpt_every == 0 or step_i + 1 == steps:
+            mgr.save(step_i + 1, jax.device_get(state.params), jax.device_get(state.opt_state))
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    conf = load_config(
+        args.config, args.overrides,
+        defaults={"training": {"ckpt_root": "./checkpoints"}},
+    )
+    t = conf.training
+    lmbdas = list(t.get("lmbdas", DEFAULT_LMBDAS))
+    n_dev = jax.device_count()
+    mesh = make_mesh(dp=n_dev) if n_dev > 1 else None
+    print(f"devices: {n_dev} ({jax.default_backend()}), rate points: {lmbdas}")
+
+    results = {}
+    root = Path(t.get("ckpt_root", "./checkpoints"))
+    for i, lmbda in enumerate(lmbdas):
+        ckpt_dir = root / f"q{i+1}_lmbda{lmbda}"
+        results[str(lmbda)] = train_rate_point(conf, lmbda, ckpt_dir, mesh)
+    (root / "train_results.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

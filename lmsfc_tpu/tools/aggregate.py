@@ -1,0 +1,100 @@
+"""Cross-sequence aggregation: overall mAP / overall MOTA + CTTC csv.
+
+Re-creation of the reference's repo-root utils (SURVEY.md §2.8):
+  compute_overall_map.py:89-183 — merge per-sequence COCO detection state
+      (saved by COCOEval.save_state) and re-evaluate over the union;
+  compute_overall_mot.py:57-120 — re-accumulate CLEAR counters across
+      sequences: MOTA_overall = 1 - sum(fp+fn+idsw)/sum(gt);
+  fcm_cttc_output_gen.py:53-162 / mpeg_template_format.py — one csv row per
+      (sequence, qp) with rate + accuracy, FCM CTTC column layout.
+
+CLI:
+  python -m lmsfc_tpu.tools.aggregate map   out.json seq1.pkl seq2.pkl ...
+  python -m lmsfc_tpu.tools.aggregate mot   out.json seq1.json seq2.json ...
+  python -m lmsfc_tpu.tools.aggregate cttc  out.csv  run1/summary.csv ...
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import sys
+from pathlib import Path
+from typing import Dict, List
+
+from ..evaluators.coco import COCOEval
+
+
+def overall_map(state_files: List[Path]) -> Dict:
+    ev = COCOEval()
+    for f in state_files:
+        ev.load_state(f)
+    return ev.results()
+
+
+def overall_mota(result_files: List[Path]) -> Dict:
+    tot = {"fp": 0, "fn": 0, "idsw": 0, "num_gt": 0}
+    for f in result_files:
+        r = json.loads(Path(f).read_text())
+        for k in tot:
+            tot[k] += int(r[k])
+    mota = (
+        1.0 - (tot["fp"] + tot["fn"] + tot["idsw"]) / tot["num_gt"]
+        if tot["num_gt"]
+        else float("nan")
+    )
+    return {"mota": mota * 100, **tot}
+
+
+CTTC_COLUMNS = [
+    "Sequence", "QP", "Bitrate [kbps]", "BPP",
+    "End-to-end accuracy", "NN task part 1 time [s]", "Encoding time [s]",
+    "Decoding time [s]", "NN task part 2 time [s]",
+]
+
+
+def cttc_csv(summary_files: List[Path], out_path: Path) -> None:
+    """Collect per-run summary.csv rows into the CTTC report layout."""
+    rows = []
+    for f in summary_files:
+        with open(f) as fd:
+            row = next(csv.DictReader(fd))
+        rows.append(
+            {
+                "Sequence": Path(f).parent.name,
+                "QP": row.get("qp", ""),
+                "Bitrate [kbps]": row.get("bitrate_kbps", ""),
+                "BPP": row.get("bpp", ""),
+                "End-to-end accuracy": row.get("accuracy", ""),
+                "NN task part 1 time [s]": row.get("time_nn-task-part1", ""),
+                "Encoding time [s]": row.get("time_encoder", ""),
+                "Decoding time [s]": row.get("time_decoder", ""),
+                "NN task part 2 time [s]": row.get("time_nn-task-part2", ""),
+            }
+        )
+    with open(out_path, "w", newline="") as fd:
+        w = csv.DictWriter(fd, fieldnames=CTTC_COLUMNS)
+        w.writeheader()
+        w.writerows(rows)
+
+
+def main() -> None:
+    mode, out, *files = sys.argv[1:]
+    files = [Path(f) for f in files]
+    if mode == "map":
+        res = overall_map(files)
+        Path(out).write_text(json.dumps(res, indent=2, default=float))
+        print(json.dumps({k: v for k, v in res.items() if k != "per_class_AP50"}))
+    elif mode == "mot":
+        res = overall_mota(files)
+        Path(out).write_text(json.dumps(res, indent=2))
+        print(json.dumps(res))
+    elif mode == "cttc":
+        cttc_csv(files, Path(out))
+        print(f"wrote {out}")
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (map|mot|cttc)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Training-data sources for the RD loop.
+
+The reference trains L-MSFC on FPN features exported by NN-Part1 (SURVEY.md
+§2.9/§5 — feature dumping via `generate_features_only`). Two sources here:
+
+  FeatureDumpSource — iterate .npz dumps written by the pipelines' feature
+      cache (pipelines/base.py `dump_features_dir`), random-cropped to a
+      fixed patch geometry so every batch compiles to one XLA program.
+  SyntheticSource  — gaussian features with per-dataset dynamic ranges, for
+      smoke tests and throughput work without the vision datasets.
+
+Both yield lists of NHWC levels (finest first) with static shapes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class SyntheticSource:
+    def __init__(
+        self,
+        batch: int,
+        base_hw: Tuple[int, int] = (64, 64),
+        channels: Sequence[int] = (256, 256, 256, 256),
+        value_range: Tuple[float, float] = (-17.8848, 16.69417),  # SFUHW
+        seed: int = 0,
+    ):
+        self.batch = batch
+        self.base_hw = base_hw
+        self.channels = tuple(channels)
+        self.rng = np.random.default_rng(seed)
+        lo, hi = value_range
+        self.mean = (hi + lo) / 2
+        self.std = (hi - lo) / 8
+
+    def __iter__(self) -> Iterator[List[np.ndarray]]:
+        while True:
+            feats = []
+            h, w = self.base_hw
+            for c in self.channels:
+                feats.append(
+                    self.rng.normal(self.mean, self.std, (self.batch, h, w, c)).astype(
+                        np.float32
+                    )
+                )
+                h, w = -(-h // 2), -(-w // 2)
+            yield feats
+
+
+class FeatureDumpSource:
+    """Random crops from .npz feature dumps (keys = levels, NCHW arrays)."""
+
+    def __init__(
+        self,
+        dump_dir: Path,
+        batch: int,
+        base_hw: Tuple[int, int] = (64, 64),
+        levels: Optional[Sequence[str]] = None,
+        seed: int = 0,
+    ):
+        self.files = sorted(Path(dump_dir).glob("*_features.npz"))
+        if not self.files:
+            raise FileNotFoundError(f"no *_features.npz under {dump_dir}")
+        self.batch = batch
+        self.base_hw = base_hw
+        self.levels = list(levels) if levels else None
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[List[np.ndarray]]:
+        while True:
+            batch_feats: Optional[List[List[np.ndarray]]] = None
+            for _ in range(self.batch):
+                f = self.files[self.rng.integers(len(self.files))]
+                loaded = np.load(f)
+                keys = self.levels or [k for k in loaded.files if k != "_meta"]
+                crops = self._crop({k: loaded[k] for k in keys})
+                if batch_feats is None:
+                    batch_feats = [[] for _ in crops]
+                for i, c in enumerate(crops):
+                    batch_feats[i].append(c)
+            yield [np.stack(level) for level in batch_feats]
+
+    def _crop(self, data) -> List[np.ndarray]:
+        keys = list(data.keys())
+        h0, w0 = self.base_hw
+        first = data[keys[0]]
+        _, c, fh, fw = first.shape
+        # random top-left on the finest level, aligned to the coarsest stride
+        align = 2 ** (len(keys) - 1)
+        max_y = max(fh - h0, 0)
+        max_x = max(fw - w0, 0)
+        y = int(self.rng.integers(0, max_y // align + 1)) * align if max_y else 0
+        x = int(self.rng.integers(0, max_x // align + 1)) * align if max_x else 0
+        out = []
+        ch, cw, cy, cx = h0, w0, y, x
+        for k in keys:
+            lvl = data[k][0]  # [C,H,W]
+            pad_h = max(cy + ch - lvl.shape[1], 0)
+            pad_w = max(cx + cw - lvl.shape[2], 0)
+            if pad_h or pad_w:
+                lvl = np.pad(lvl, ((0, 0), (0, pad_h), (0, pad_w)))
+            crop = lvl[:, cy : cy + ch, cx : cx + cw]
+            out.append(np.transpose(crop, (1, 2, 0)).astype(np.float32))
+            ch, cw = -(-ch // 2), -(-cw // 2)
+            cy, cx = cy // 2, cx // 2
+        return out

@@ -61,6 +61,8 @@ class LMSFCCodec:
         params: Optional[Dict] = None,
         seed: int = 0,
         dtype: str = "bfloat16",
+        chunk_frames: int = 8,
+        mesh=None,
         **kwargs,
     ):
         import logging
@@ -87,6 +89,13 @@ class LMSFCCodec:
         self._enc = RansEncoder()
         self._dec = RansDecoder()
         self._jit_cache: Dict = {}
+        # fixed per-compile frame-chunk: one XLA program regardless of
+        # sequence length (the video pipeline codes whole sequences at once,
+        # ref video_split_inference.py:265-286), memory bounded
+        self.chunk_frames = int(chunk_frames)
+        # optional dp mesh: shard the frame axis of analysis/synthesis —
+        # frames are independent (intra coding), so eval scales linearly
+        self.mesh = mesh
 
     # ------------------------------------------------------------ params
     def _example_features(self) -> List[jax.Array]:
@@ -127,18 +136,38 @@ class LMSFCCodec:
         return self._gc_table, self._eb_table
 
     # -------------------------------------------------------------- jit fns
+    def _shardings(self):
+        if self.mesh is None:
+            return {}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        dp = NamedSharding(self.mesh, P("dp"))
+        return {"repl": repl, "dp": dp}
+
     def _analysis_fn(self, shapes: Tuple):
         key = ("analysis", shapes)
         if key not in self._jit_cache:
 
-            @jax.jit
             def fn(params, features):
                 return self.model.apply(
                     {"params": params}, list(features), method=LMSFCv2.analysis
                 )
 
+            sh = self._shardings()
+            if sh:
+                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
+                             out_shardings=sh["dp"])
+            else:
+                fn = jax.jit(fn)
             self._jit_cache[key] = fn
         return self._jit_cache[key]
+
+    def _chunk_iter(self, n_frames: int):
+        """Yield (start, count, padded_slice_fn) over fixed-size chunks."""
+        c = max(1, self.chunk_frames)
+        for s in range(0, n_frames, c):
+            yield s, min(c, n_frames - s)
 
     def _hyper_synthesis_fn(self, y_hw: Tuple[int, int]):
         key = ("hsyn", y_hw)
@@ -157,12 +186,17 @@ class LMSFCCodec:
         key = ("syn", shapes_hw)
         if key not in self._jit_cache:
 
-            @jax.jit
             def fn(params, y_hat):
                 return self.model.apply(
                     {"params": params}, y_hat, shapes_hw, method=LMSFCv2.synthesis
                 )
 
+            sh = self._shardings()
+            if sh:
+                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
+                             out_shardings=sh["dp"])
+            else:
+                fn = jax.jit(fn)
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
@@ -183,8 +217,25 @@ class LMSFCCodec:
         n_frames = feats[0].shape[0]
         level_shapes = [(f.shape[3], f.shape[1], f.shape[2]) for f in feats]  # C,H,W
 
-        analysis = self._analysis_fn(tuple(f.shape for f in feats))
-        y, z, _, _ = analysis(self.params, feats)
+        # fixed-size chunks: pad the tail chunk by edge-repeat so every call
+        # hits the same compiled program
+        chunk = max(1, self.chunk_frames)
+        analysis = self._analysis_fn(
+            tuple((chunk,) + tuple(f.shape[1:]) for f in feats)
+        )
+        y_parts, z_parts = [], []
+        for s, cnt in self._chunk_iter(n_frames):
+            part = [f[s : s + cnt] for f in feats]
+            if cnt < chunk:
+                part = [
+                    jnp.concatenate([p, jnp.repeat(p[-1:], chunk - cnt, axis=0)])
+                    for p in part
+                ]
+            yc, zc, _, _ = analysis(self.params, part)
+            y_parts.append(np.asarray(yc, np.float32)[:cnt])
+            z_parts.append(np.asarray(zc, np.float32)[:cnt])
+        y = np.concatenate(y_parts)
+        z = np.concatenate(z_parts)
         gc_table, eb_table = self._tables()
 
         z_np = np.asarray(z, np.float32)
@@ -307,11 +358,22 @@ class LMSFCCodec:
                 y_hat = y_sym.astype(np.float32) + means_np
                 y_hat_frames.append(y_hat)
 
-        y_hat_all = jnp.asarray(np.concatenate(y_hat_frames, axis=0))
-        recon = synthesis(self.params, y_hat_all)
+        y_hat_all = np.concatenate(y_hat_frames, axis=0)
+        chunk = max(1, self.chunk_frames)
+        recon_parts: List[List[np.ndarray]] = []
+        for s, cnt in self._chunk_iter(n_frames):
+            part = y_hat_all[s : s + cnt]
+            if cnt < chunk:
+                part = np.concatenate([part, np.repeat(part[-1:], chunk - cnt, axis=0)])
+            recon = synthesis(self.params, jnp.asarray(part))
+            recon_parts.append([np.asarray(r, np.float32)[:cnt] for r in recon])
+        merged = [
+            np.concatenate([p[i] for p in recon_parts], axis=0)
+            for i in range(len(names))
+        ]
         data = {
-            name: jnp.transpose(r, (0, 3, 1, 2))
-            for name, r in zip(names, recon)
+            name: jnp.asarray(np.transpose(r, (0, 3, 1, 2)))
+            for name, r in zip(names, merged)
         }
         return {"data": data}
 

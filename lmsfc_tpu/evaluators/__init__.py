@@ -3,3 +3,4 @@ from .coco import COCOEval
 from .mot import MOTEval
 
 __all__ = ["BaseEvaluator", "COCOEval", "MOTEval"]
+from .oid_challenge import OpenImagesChallengeEval  # noqa: F401,E402

@@ -208,8 +208,37 @@ class _RCNNWrapper(BaseWrapper):
         return results
 
     def deeper_features_for_accuracy_proxy(self, x: Dict) -> Any:
-        """Proposal-level tensors as a cheap accuracy proxy (ref :150-175)."""
-        raise NotImplementedError("accuracy-proxy loss lands with RD task training")
+        """RPN objectness/delta maps from features — differentiable task
+        proxy for RD training (ref detectron2.py:150-175 uses proposals).
+
+        x: {"data": {p2..p5: [N,C,H,W]}}. Returns list of [N,H,W,A*(1+4)]
+        tensors, one per pyramid level (p2..p6).
+        """
+        data = x["data"]
+        pyr = [jnp.transpose(jnp.asarray(data[k]), (0, 2, 3, 1)) for k in self._splits]
+
+        def fn(params, pyramid):
+            p6 = top_block_p6(pyramid[3])
+            feats = list(pyramid) + [p6]
+            logits, regs = RPNHead(dtype=jnp.float32).bind(
+                {"params": params["rpn_head"]}
+            )(feats)
+            return [jnp.concatenate([l, r], axis=-1) for l, r in zip(logits, regs)]
+
+        return fn(self._params_part2, pyr)
+
+    def proxy_fn(self):
+        """(features_nhwc_list) -> proxy tensors; jit-friendly closure over
+        frozen NN-Part2 params, for use inside the RD train step."""
+        params = jax.lax.stop_gradient(self._params_part2["rpn_head"])
+
+        def fn(pyramid_nhwc):
+            p6 = top_block_p6(pyramid_nhwc[3])
+            feats = list(pyramid_nhwc) + [p6]
+            logits, regs = RPNHead(dtype=jnp.float32).bind({"params": params})(feats)
+            return [jnp.concatenate([l, r], axis=-1) for l, r in zip(logits, regs)]
+
+        return fn
 
     def forward(self, x):
         feats = self.input_to_features(x)

@@ -74,11 +74,16 @@ def make_train_step(
     lmbda: float,
     mesh: Optional[Mesh] = None,
     finest_stride: int = 4,
+    proxy_fn: Optional[Callable] = None,
+    proxy_weight: float = 0.0,
 ) -> Callable:
     """Returns jitted (state, features, rng) -> (state, metrics).
 
     features: list of NHWC levels (finest first), batch axis sharded on `dp`
-    when a mesh is given.
+    when a mesh is given. proxy_fn (optional): a frozen task head (e.g. the
+    RPN maps from FasterRCNNFPN.proxy_fn()) adding a task-proxy distortion
+    term — the TPU realization of the reference's
+    `deeper_features_for_accuracy_proxy` hook (base_wrapper.py:55-59).
     """
 
     def step(state: TrainState, features, rng):
@@ -90,6 +95,14 @@ def make_train_step(
             aux = model.apply({"params": params}, method=LMSFCv2.aux_loss)
             total = losses["loss"] + aux
             metrics = {**losses, "aux": aux}
+            if proxy_fn is not None and proxy_weight > 0:
+                p_ref = proxy_fn([jax.lax.stop_gradient(f) for f in features])
+                p_hat = proxy_fn(out["features_hat"])
+                proxy = sum(
+                    jnp.mean((a - b) ** 2) for a, b in zip(p_ref, p_hat)
+                ) / len(p_ref)
+                total = total + proxy_weight * proxy
+                metrics["proxy"] = proxy
             return total, metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -1,0 +1,158 @@
+"""`lmsfc-vision` multi-command CLI — the legacy VCM app surface.
+
+Slim, dependency-free equivalent of the reference's argparse multi-command
+app (compressai_vision/run/vcm_app_cli/main.py:60-82 and its 22 subcommand
+modules): dataset management maps onto the file-based catalogs (no
+FiftyOne/MongoDB), evaluation onto the pipeline runner, plotting onto
+tools/plot. Commands:
+
+  info            environment + registry summary           (ref info.py)
+  list-plugins    registered pipelines/codecs/models/...   (ref registers)
+  dummy           fabricate a tiny COCO dataset on disk    (ref dummy.py)
+  eval            split-/remote-inference run from a yaml  (ref detectron2_eval.py)
+  train           RD training                              (fork delta)
+  plot            R-D curves                                (ref plotter.py)
+  bdrate          Bjontegaard delta vs an anchor csv
+  aggregate       overall mAP / MOTA / CTTC csv            (repo-root utils)
+  clean           remove run artifacts                      (ref clean.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+
+def cmd_info(args) -> None:
+    from .. import __version__, plugins  # noqa: F401
+    from ..config.provenance import get_env
+
+    print(f"lmsfc_tpu {__version__}")
+    print(json.dumps(get_env(), indent=2))
+
+
+def cmd_list_plugins(args) -> None:
+    from .. import plugins  # noqa: F401
+    from ..registry import CODECS, DATACATALOGS, DATASETS, EVALUATORS, PIPELINES, VISIONMODELS
+
+    for name, table in (
+        ("pipelines", PIPELINES), ("codecs", CODECS), ("vision models", VISIONMODELS),
+        ("datasets", DATASETS), ("datacatalogs", DATACATALOGS), ("evaluators", EVALUATORS),
+    ):
+        print(f"{name}: {sorted(table)}")
+
+
+def cmd_dummy(args) -> None:
+    """Create a 1-image dummy dataset (ref vcm_app_cli/dummy.py)."""
+    import cv2
+    import numpy as np
+
+    root = Path(args.dir)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (args.height, args.width, 3)).astype(np.uint8)
+    cv2.imwrite(str(root / "images" / "dummy_0.png"), img)
+    coco = {
+        "images": [{"id": 0, "file_name": "dummy_0.png",
+                    "height": args.height, "width": args.width}],
+        "annotations": [{"id": 0, "image_id": 0, "category_id": 1,
+                         "bbox": [10, 10, 40, 30], "area": 1200, "iscrowd": 0}],
+        "categories": [{"id": 1, "name": "dummy"}],
+    }
+    (root / "ann.json").write_text(json.dumps(coco))
+    print(f"dummy dataset at {root}")
+
+
+def cmd_eval(args) -> None:
+    from .eval_split_inference import main as eval_main
+
+    eval_main(["--config", args.config, *args.overrides])
+
+
+def cmd_train(args) -> None:
+    from .train import main as train_main
+
+    train_main((["--config", args.config] if args.config else []) + args.overrides)
+
+
+def cmd_plot(args) -> None:
+    from ..tools.plot import main as plot_main
+
+    sys.argv = ["plot", args.out, *args.curves]
+    plot_main()
+
+
+def cmd_bdrate(args) -> None:
+    from ..tools.bdrate import main as bd_main
+
+    sys.argv = ["bdrate", args.anchor, args.test]
+    bd_main()
+
+
+def cmd_aggregate(args) -> None:
+    from ..tools.aggregate import main as agg_main
+
+    sys.argv = ["aggregate", args.mode, args.out, *args.files]
+    agg_main()
+
+
+def cmd_clean(args) -> None:
+    for d in args.dirs:
+        p = Path(d)
+        if p.exists():
+            shutil.rmtree(p)
+            print(f"removed {p}")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="lmsfc-vision", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info").set_defaults(fn=cmd_info)
+    sub.add_parser("list-plugins").set_defaults(fn=cmd_list_plugins)
+
+    p = sub.add_parser("dummy")
+    p.add_argument("--dir", default="./dummy_dataset")
+    p.add_argument("--width", type=int, default=96)
+    p.add_argument("--height", type=int, default=64)
+    p.set_defaults(fn=cmd_dummy)
+
+    p = sub.add_parser("eval")
+    p.add_argument("--config", required=True)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("train")
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("plot")
+    p.add_argument("out")
+    p.add_argument("curves", nargs="+", help="label=path.csv")
+    p.set_defaults(fn=cmd_plot)
+
+    p = sub.add_parser("bdrate")
+    p.add_argument("anchor")
+    p.add_argument("test")
+    p.set_defaults(fn=cmd_bdrate)
+
+    p = sub.add_parser("aggregate")
+    p.add_argument("mode", choices=["map", "mot", "cttc"])
+    p.add_argument("out")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_aggregate)
+
+    p = sub.add_parser("clean")
+    p.add_argument("dirs", nargs="+")
+    p.set_defaults(fn=cmd_clean)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from lmsfc_tpu.tools.bdrate import bd_accuracy, bd_rate
+from lmsfc_tpu.tools.aggregate import cttc_csv, overall_mota
+
+
+class TestBDRate:
+    def test_identical_curves_zero(self):
+        r = [0.1, 0.2, 0.4, 0.8]
+        a = [60, 70, 76, 80]
+        assert bd_rate(r, a, r, a) == pytest.approx(0.0, abs=1e-9)
+        assert bd_accuracy(r, a, r, a) == pytest.approx(0.0, abs=1e-9)
+
+    def test_half_rate_curve(self):
+        r = [0.1, 0.2, 0.4, 0.8]
+        a = [60, 70, 76, 80]
+        r2 = [x / 2 for x in r]
+        assert bd_rate(r, a, r2, a) == pytest.approx(-50.0, abs=0.5)
+
+    def test_better_accuracy_negative_bdrate(self):
+        r = [0.1, 0.2, 0.4, 0.8]
+        a = [60, 70, 76, 80]
+        a2 = [62, 72, 78, 82]
+        assert bd_rate(r, a, r, a2) < 0
+        assert bd_accuracy(r, a, r, a2) == pytest.approx(2.0, abs=0.2)
+
+
+class TestAggregate:
+    def test_overall_mota(self, tmp_path):
+        for i, (fp, fn, idsw, gt) in enumerate([(5, 10, 1, 100), (0, 0, 0, 50)]):
+            (tmp_path / f"s{i}.json").write_text(
+                json.dumps({"fp": fp, "fn": fn, "idsw": idsw, "num_gt": gt})
+            )
+        res = overall_mota(sorted(tmp_path.glob("*.json")))
+        assert res["mota"] == pytest.approx((1 - 16 / 150) * 100)
+
+    def test_cttc_csv(self, tmp_path):
+        run = tmp_path / "SeqA"
+        run.mkdir()
+        with open(run / "summary.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["codec", "qp", "bpp", "accuracy", "time_encoder"])
+            w.writeheader()
+            w.writerow({"codec": "lmsfc", "qp": 1, "bpp": 0.12, "accuracy": 71.2, "time_encoder": 3.2})
+        out = tmp_path / "cttc.csv"
+        cttc_csv([run / "summary.csv"], out)
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+        assert rows[0]["Sequence"] == "SeqA"
+        assert rows[0]["BPP"] == "0.12"
+
+
+class TestCLI:
+    def test_dummy_and_list(self, tmp_path, capsys):
+        from lmsfc_tpu.run.cli import main
+
+        main(["dummy", "--dir", str(tmp_path / "d")])
+        assert (tmp_path / "d" / "ann.json").exists()
+        main(["list-plugins"])
+        out = capsys.readouterr().out
+        assert "lmsfc" in out and "video-split-inference" in out

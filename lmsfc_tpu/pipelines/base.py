@@ -45,7 +45,21 @@ class BasePipeline:
         if dump:
             self.dump_features_dir = Path(dump)
             self.dump_features_dir.mkdir(parents=True, exist_ok=True)
+        self.profile_dir = get("profile_dir")
         self.timer = StageTimer([p.value for p in Parts])
+
+    def maybe_profile(self):
+        """XLA profiler trace around the run (SURVEY.md §5: the reference has
+        wall timers only, run/eval_split_inference.py timing dict; jax
+        .profiler traces are the TPU superset — view with tensorboard)."""
+        import contextlib
+
+        if not self.profile_dir:
+            return contextlib.nullcontext()
+        import jax
+
+        Path(self.profile_dir).mkdir(parents=True, exist_ok=True)
+        return jax.profiler.trace(str(self.profile_dir))
 
     # ------------------------------------------------------------- NN parts
     def _from_input_to_features(self, vision_model, batch: List[Dict], file_prefix: str = "") -> Dict:

@@ -77,9 +77,10 @@ def run(conf: Config) -> Dict:
         )
     write_outputs(conf, out_dir)
 
-    timing, eval_encode_type, coded_res, performance = pipeline(
-        vision_model, codec, dataloader, evaluator
-    )
+    with pipeline.maybe_profile():
+        timing, eval_encode_type, coded_res, performance = pipeline(
+            vision_model, codec, dataloader, evaluator
+        )
 
     if eval_encode_type == "bitrate":
         rate_key, rate_val = "bitrate_kbps", _calc_bitrate(coded_res)

@@ -47,7 +47,9 @@ def _iou_xywh(d: np.ndarray, g: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
 class COCOEval(BaseEvaluator):
     """digest(gt_sample, predictions) accumulates; results() computes AP."""
 
-    def __init__(self, datacatalog=None, dataset=None, criteria: str = "AP", **kwargs):
+    def __init__(self, datacatalog=None, dataset=None, criteria: str = "AP",
+                 task: str = "detection", **kwargs):
+        self.task = task  # "detection" | "segmentation" (mask IoU matching)
         super().__init__(datacatalog, dataset, criteria, **kwargs)
         self.cat_map = getattr(dataset, "cat_id_to_contiguous", None)
 
@@ -68,17 +70,36 @@ class COCOEval(BaseEvaluator):
         boxes_xyxy = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
         det_boxes = boxes_xyxy.copy()
         det_boxes[:, 2:] -= det_boxes[:, :2]  # -> xywh
-        self._images.append(
-            {
-                "image_id": gt.get("image_id", len(self._images)),
-                "gt_boxes": np.asarray(gt_boxes, np.float64).reshape(-1, 4),
-                "gt_cls": np.asarray(gt_cls, np.int64),
-                "gt_crowd": np.asarray(gt_crowd, np.int64),
-                "det_boxes": det_boxes,
-                "det_cls": np.asarray(pred["classes"], np.int64).reshape(-1),
-                "det_scores": np.asarray(pred["scores"], np.float64).reshape(-1),
-            }
-        )
+        record = {
+            "image_id": gt.get("image_id", len(self._images)),
+            "gt_boxes": np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+            "gt_cls": np.asarray(gt_cls, np.int64),
+            "gt_crowd": np.asarray(gt_crowd, np.int64),
+            "det_boxes": det_boxes,
+            "det_cls": np.asarray(pred["classes"], np.int64).reshape(-1),
+            "det_scores": np.asarray(pred["scores"], np.float64).reshape(-1),
+        }
+        if self.task == "segmentation":
+            from ..ops.masks import decode_segmentation, paste_mask, rle_encode
+
+            size = gt.get("org_input_size", {})
+            h = size.get("height") or int(max(boxes_xyxy[:, 3], default=1))
+            w = size.get("width") or int(max(boxes_xyxy[:, 2], default=1))
+            record["hw"] = (h, w)
+            record["gt_rles"] = [
+                rle_encode(decode_segmentation(a["segmentation"], h, w))
+                for a in anns
+                if "segmentation" in a
+            ]
+            det_masks = pred.get("masks_28")
+            if det_masks is not None:
+                record["det_rles"] = [
+                    rle_encode(paste_mask(m, b, h, w))
+                    for m, b in zip(det_masks, boxes_xyxy)
+                ]
+            else:
+                record["det_rles"] = []
+        self._images.append(record)
 
     # ------------------------------------------------------------------ AP
     def _evaluate_class(self, cls: int) -> Optional[np.ndarray]:
@@ -94,7 +115,10 @@ class COCOEval(BaseEvaluator):
             order = np.argsort(-s)[:MAX_DETS]
             d, s = d[order], s[order]
             n_gt += int((crowd == 0).sum())
-            iou = _iou_xywh(d, g, crowd)
+            if self.task == "segmentation" and "gt_rles" in img:
+                iou = self._mask_iou_matrix(img, d_sel, g_sel, order, crowd)
+            else:
+                iou = _iou_xywh(d, g, crowd)
             # greedy match per IoU threshold
             matched = np.zeros((len(IOU_THRS), len(d)), np.int8)  # 1 tp, -1 ignore
             for ti, t in enumerate(IOU_THRS):
@@ -148,6 +172,22 @@ class COCOEval(BaseEvaluator):
             )
             aps[ti] = prec_at.mean()
         return aps
+
+    def _mask_iou_matrix(self, img, d_sel, g_sel, order, crowd):
+        from ..ops.masks import rle_decode
+
+        det_idx = np.nonzero(d_sel)[0][order]
+        gt_idx = np.nonzero(g_sel)[0]
+        dm = [rle_decode(img["det_rles"][i]) for i in det_idx]
+        gm = [rle_decode(img["gt_rles"][i]) for i in gt_idx]
+        iou = np.zeros((len(dm), len(gm)))
+        for di, d in enumerate(dm):
+            da = d.sum()
+            for gi, g in enumerate(gm):
+                inter = np.logical_and(d, g).sum()
+                denom = da if crowd[gi] else da + g.sum() - inter
+                iou[di, gi] = inter / denom if denom else 0.0
+        return iou
 
     def results(self, save_path: Optional[str] = None) -> Dict:
         classes = set()

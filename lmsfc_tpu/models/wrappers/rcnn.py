@@ -96,11 +96,18 @@ class _RCNNWrapper(BaseWrapper):
         weights: Optional[str] = None,
         device: str = "tpu",
         splits: Sequence[str] = ("p2", "p3", "p4", "p5"),
+        min_size_test: int = 800,
+        max_size_test: int = 1333,
+        resize_input: bool = True,
         **kwargs,
     ):
         self.backbone = ResNetFPN()
         self.part2 = _RCNNPart2(with_mask=self.with_mask)
         self._splits = list(splits)
+        # Detectron2 ResizeShortestEdge test-time protocol (min 800/max 1333)
+        self.min_size_test = min_size_test
+        self.max_size_test = max_size_test
+        self.resize_input = resize_input
         self._params_backbone = None
         self._params_part2 = None
         self._weights_path = weights
@@ -126,6 +133,21 @@ class _RCNNWrapper(BaseWrapper):
         return self._splits
 
     # ------------------------------------------------------------ NN-Part1
+    def resize_shortest_edge(self, img: np.ndarray) -> np.ndarray:
+        """Detectron2 test-time resize: shortest edge -> min_size_test,
+        capped so the long edge <= max_size_test (hard part 4, SURVEY.md §7:
+        sizes then bucket to 32-divisible padded shapes for XLA)."""
+        import cv2
+
+        h, w = img.shape[:2]
+        scale = self.min_size_test / min(h, w)
+        if max(h, w) * scale > self.max_size_test:
+            scale = self.max_size_test / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        if (nh, nw) == (h, w):
+            return img
+        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
     def preprocess(self, imgs_bgr: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
         """[N,H,W,3] BGR uint8 -> padded float NHWC + true (H,W)."""
         x = imgs_bgr.astype(np.float32) - PIXEL_MEAN_BGR
@@ -157,7 +179,10 @@ class _RCNNWrapper(BaseWrapper):
             if img is None:
                 chw = np.asarray(sample["image"])
                 img = np.transpose(chw, (1, 2, 0))
-            imgs.append(np.asarray(img))
+            img = np.asarray(img)
+            if self.resize_input:
+                img = self.resize_shortest_edge(img)
+            imgs.append(img)
         batch = np.stack(imgs)
         xpad, (h, w) = self.preprocess(batch)
         fn = self._backbone_fn(xpad.shape)

@@ -50,7 +50,10 @@ def _conf(root, out_dir, codec_type="bypass", codec_settings=None):
     return Config(
         {
             "misc": {"device": "cpu", "overwrite_results": True},
-            "vision_model": {"arch": "faster_rcnn_R_50_FPN_3x"},
+            "vision_model": {
+                "arch": "faster_rcnn_R_50_FPN_3x",
+                "faster_rcnn_R_50_FPN_3x": {"resize_input": False},
+            },
             "dataset": {
                 "type": "Detectron2Dataset",
                 "datacatalog": "COCO",

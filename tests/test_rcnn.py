@@ -88,7 +88,18 @@ class TestRoiAlign:
 class TestRCNNWrapper:
     @pytest.fixture(scope="class")
     def wrapper(self):
-        return FasterRCNNFPN()
+        return FasterRCNNFPN(resize_input=False)
+
+    def test_resize_shortest_edge_sfu_geometry(self):
+        """BasketballDrill 832x480 -> capped scale -> padded 800x1344 ->
+        p2 [200,336] (matches data/mpeg-fcm/SFUHW/fpn-sizes fixtures)."""
+        w = FasterRCNNFPN(resize_input=True)
+        img = np.zeros((480, 832, 3), np.uint8)
+        resized = w.resize_shortest_edge(img)
+        assert resized.shape[1] == 1333  # capped by max_size_test
+        padded, (h, ww) = w.preprocess(resized[None])
+        assert padded.shape[1:3] == (800, 1344)
+        assert (h, ww) == (resized.shape[0], 1333)
 
     def test_split_roundtrip_shapes(self, wrapper):
         rng = np.random.default_rng(0)

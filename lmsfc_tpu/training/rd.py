@@ -27,6 +27,18 @@ def bits_from_likelihoods(likelihoods: Dict[str, jax.Array]) -> jax.Array:
     return total
 
 
+def rd_image_loss(
+    output: Dict, x: jax.Array, lmbda: float
+) -> Dict[str, jax.Array]:
+    """Image-codec RD objective: lambda * 255^2 * MSE + bpp (CompressAI
+    convention for [0,1] inputs)."""
+    n, h, w, _ = x.shape
+    mse = jnp.mean((output["x_hat"] - x) ** 2)
+    bpp = bits_from_likelihoods(output["likelihoods"]) / (n * h * w)
+    loss = lmbda * (255.0**2) * mse + bpp
+    return {"loss": loss, "mse": mse, "bpp": bpp}
+
+
 def rd_loss(
     output: Dict,
     targets: Sequence[jax.Array],

@@ -105,6 +105,12 @@ class VideoSplitInference(BasePipeline):
                     buffer.setdefault(tag, []).append(np.asarray(t))
                 samples.append(sample)
 
+        get = self.configs.get if hasattr(self.configs, "get") else (lambda k, d=None: d)
+        if get("generate_features_only", False):
+            # feature-dump-only mode (ref video_split_inference.py:144-148);
+            # dumps happened inside _from_input_to_features
+            return self.timer.times, codec.eval_encode_type, {"bytes": []}, {}
+
         # concat per split-layer into one [N,C,H,W] tensor (ref :265-286)
         data = {tag: np.concatenate(ts, axis=0) for tag, ts in buffer.items()}
         del buffer

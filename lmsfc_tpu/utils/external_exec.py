@@ -22,18 +22,28 @@ def get_max_num_cpus() -> int:
     return max(1, os.cpu_count() or 1)
 
 
-def run_cmdline(cmdline: Cmd, logpath: Optional[Path] = None) -> float:
-    """Run one command; returns wall seconds. Raises on nonzero exit."""
+def run_cmdline(cmdline: Cmd, logpath: Optional[Path] = None, retries: int = 0) -> float:
+    """Run one command; returns wall seconds. Raises on nonzero exit.
+
+    `retries` re-runs transient failures (the legacy path retried failed
+    encoder/decoder invocations once, ref fo_vcm/fo/predict.py:139-147).
+    """
     cmd = [str(c) for c in cmdline]
     t0 = time.perf_counter()
-    if logpath is not None:
-        Path(logpath).parent.mkdir(parents=True, exist_ok=True)
-        with open(logpath, "w") as f:
-            f.write(" ".join(cmd) + "\n")
-            f.flush()
-            subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, check=True)
-    else:
-        subprocess.run(cmd, capture_output=True, check=True)
+    for attempt in range(retries + 1):
+        try:
+            if logpath is not None:
+                Path(logpath).parent.mkdir(parents=True, exist_ok=True)
+                with open(logpath, "w" if attempt == 0 else "a") as f:
+                    f.write(" ".join(cmd) + "\n")
+                    f.flush()
+                    subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, check=True)
+            else:
+                subprocess.run(cmd, capture_output=True, check=True)
+            break
+        except subprocess.CalledProcessError:
+            if attempt == retries:
+                raise
     return time.perf_counter() - t0
 
 

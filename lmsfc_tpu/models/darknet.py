@@ -123,7 +123,12 @@ class JDEHead(nn.Module):
         self.b8 = _Branch(128, dtype=self.dtype)
 
     def _pre_maps(self, feats: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        """Pre-prediction maps — the HiEve split tensors {l75,l90,l105}."""
+        """Pre-prediction maps — the HiEve split tensors {l105,l90,l75}.
+
+        Dict order is finest-first (l105 = stride 8): codecs consume the
+        level dict in order with the finest level leading (ops/tiling
+        packing and FENet fusion both assume it).
+        """
         r32, _, _ = self.b32(feats["s32"])
         u = _up2(self.up32(r32), feats["s16"].shape[1:3])
         x16 = jnp.concatenate([u, feats["s16"]], axis=-1)
@@ -131,7 +136,7 @@ class JDEHead(nn.Module):
         u = _up2(self.up16(r16), feats["s8"].shape[1:3])
         x8 = jnp.concatenate([u, feats["s8"]], axis=-1)
         r8, _, _ = self.b8(x8)
-        return {"l75": r32, "l90": r16, "l105": r8}
+        return {"l105": r8, "l90": r16, "l75": r32}
 
     def __call__(self, feats: Dict[str, jax.Array]):
         r32, p32, e32 = self.b32(feats["s32"])

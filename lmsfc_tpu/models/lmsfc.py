@@ -139,12 +139,16 @@ class LMSFCv2(nn.Module):
     latent_filters: int = 192
     hyper_filters: int = 128
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # rematerialize transforms (trade FLOPs for HBM)
 
     def setup(self):
-        self.fenet = FENet(self.num_filters, self.latent_filters, self.dtype)
+        fenet_cls = nn.remat(FENet) if self.remat else FENet
+        # DRNet's shapes_hw argument must stay static under remat
+        drnet_cls = nn.remat(DRNet, static_argnums=(2,)) if self.remat else DRNet
+        self.fenet = fenet_cls(self.num_filters, self.latent_filters, self.dtype)
         self.h_a = HyperEncoder(self.latent_filters, self.hyper_filters, self.dtype)
         self.h_s = HyperDecoder(self.latent_filters, self.hyper_filters, self.dtype)
-        self.drnet = DRNet(self.out_channels, self.num_filters, self.dtype)
+        self.drnet = drnet_cls(self.out_channels, self.num_filters, self.dtype)
         self.entropy_bottleneck = EntropyBottleneck(channels=self.hyper_filters)
         self.gaussian = GaussianConditional()
 

@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# MPEG-OIV6 (5k stills) x L-MSFC sweep, OpenImages-protocol mAP@0.5.
+# Equivalent of scripts/evaluation/mpeg_oiv6/eval_on_*.sh.
+set -euo pipefail
+DATA_ROOT=${1:-./data/mpeg-oiv6}
+OUT_ROOT=${2:-./runs/oiv6_lmsfc}
+CKPT_ROOT=${3:-./checkpoints}
+TASK=${4:-detection}   # detection | segmentation
+LMBDAS=(0.0125 0.025 0.05 0.1)
+
+ARCH=faster_rcnn_R_50_FPN_3x
+EVAL=OIC-EVAL
+if [ "$TASK" = "segmentation" ]; then
+  ARCH=mask_rcnn_R_50_FPN_3x
+  EVAL=COCO-EVAL
+fi
+
+for i in "${!LMBDAS[@]}"; do
+  q=$((i + 1))
+  python -m lmsfc_tpu.run.eval_split_inference \
+    --config cfgs/eval_split_inference_example.yaml \
+    vision_model.arch="${ARCH}" \
+    dataset.datacatalog=MPEGOIV6 \
+    dataset.config.root="${DATA_ROOT}" \
+    pipeline.type=image \
+    evaluator.type="${EVAL}" \
+    codec.settings.qp="${q}" \
+    codec.settings.checkpoint_dir="${CKPT_ROOT}/q${q}_lmbda${LMBDAS[$i]}" \
+    pipeline.output_dir="${OUT_ROOT}/q${q}" \
+    pipeline.codec_output_dir="${OUT_ROOT}/q${q}/codec" \
+    misc.overwrite_results=true
+done
+
+python -m lmsfc_tpu.tools.aggregate cttc "${OUT_ROOT}/cttc.csv" "${OUT_ROOT}"/q*/summary.csv

@@ -103,7 +103,24 @@ class MOTEval(BaseEvaluator):
         self.num_fp += len(hyp_ids) - len(used_h)
         self._last_match.update(matches)
 
+    def save_predictions_mot(self, path) -> None:
+        """Write stashed hypotheses as a MOT-format txt
+        (frame,id,x,y,w,h,1,-1,-1,-1) for offline re-aggregation (the
+        reference stashes .h5 predictions, evaluators.py:498-505)."""
+        from pathlib import Path
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            for frame_idx, rec in enumerate(self.stashed, start=1):
+                for hid, box in zip(rec["hyp_ids"], rec["hyp_boxes"]):
+                    x, y, w, h = box
+                    f.write(f"{frame_idx},{hid},{x:.2f},{y:.2f},{w:.2f},{h:.2f},1,-1,-1,-1\n")
+
     def results(self, save_path: Optional[str] = None) -> Dict:
+        if save_path is not None:
+            self.save_predictions_mot(
+                f"{save_path}/{self.__class__.__name__}_predictions.txt"
+            )
         mota = (
             1.0 - (self.num_fp + self.num_miss + self.num_switches) / self.num_gt
             if self.num_gt

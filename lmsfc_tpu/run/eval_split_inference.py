@@ -103,6 +103,13 @@ def run(conf: Config) -> Dict:
         w.writeheader()
         w.writerow(summary)
 
+    # per-frame coded sizes (ref encode_details_{qp}.csv, :206-214)
+    with open(out_dir / f"encode_details_{codec.qp_value}.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["frame", "bytes"])
+        for i, b in enumerate(coded_res.get("bytes", [])):
+            w.writerow([i, b])
+
     try:
         from tabulate import tabulate
 

@@ -58,13 +58,38 @@ class ConvBN(nn.Module):
         return y
 
 
+class ConvBNGrouped(nn.Module):
+    """Grouped 3x3 conv + frozen BN (ResNeXt cardinality path)."""
+
+    features: int
+    stride: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1)] * 2, use_bias=False,
+            feature_group_count=self.groups,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv",
+        )(x)
+        y = FrozenBN(self.features, name="norm")(y.astype(jnp.float32)).astype(self.dtype)
+        return nn.relu(y)
+
+
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 with stride in the 1x1 (caffe/MSRA convention)."""
+    """1x1 -> 3x3 -> 1x1 with stride in the 1x1 (caffe/MSRA convention).
+
+    groups > 1 gives the ResNeXt (X-101 32x8d) block: grouped 3x3 and
+    stride moved to the 3x3 (Detectron2 X-101 convention).
+    """
 
     bottleneck_channels: int
     out_channels: int
     stride: int = 1
     has_shortcut: bool = False
+    groups: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,15 +101,30 @@ class Bottleneck(nn.Module):
             )(x)
         else:
             shortcut = x
-        y = ConvBN(self.bottleneck_channels, 1, self.stride, dtype=self.dtype, name="conv1")(x)
-        y = ConvBN(self.bottleneck_channels, 3, 1, dtype=self.dtype, name="conv2")(y)
+        if self.groups == 1:
+            y = ConvBN(self.bottleneck_channels, 1, self.stride, dtype=self.dtype, name="conv1")(x)
+            y = ConvBN(self.bottleneck_channels, 3, 1, dtype=self.dtype, name="conv2")(y)
+        else:
+            y = ConvBN(self.bottleneck_channels, 1, 1, dtype=self.dtype, name="conv1")(x)
+            y = ConvBNGrouped(
+                self.bottleneck_channels, self.stride, self.groups, dtype=self.dtype,
+                name="conv2",
+            )(y)
         y = ConvBN(self.out_channels, 1, 1, use_relu=False, dtype=self.dtype, name="conv3")(y)
         return nn.relu(y + shortcut)
 
 
 class ResNet50(nn.Module):
-    """Returns {res2, res3, res4, res5} (strides 4/8/16/32), NHWC."""
+    """Returns {res2, res3, res4, res5} (strides 4/8/16/32), NHWC.
 
+    depth=50 -> R-50; depth=101 with groups=32/width_per_group=8 -> the
+    ResNeXt-101 32x8d backbone of the X_101 model zoo entries
+    (ref model_wrappers/detectron2.py:277-298 registers both families).
+    """
+
+    depth: int = 50
+    groups: int = 1
+    width_per_group: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -93,12 +133,14 @@ class ResNet50(nn.Module):
         # Detectron2 stem maxpool: kernel 3 stride 2, SAME-ish padding 1
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        blocks_per_stage = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        bottleneck_base = self.groups * self.width_per_group
         out: Dict[str, jax.Array] = {}
         stage_specs = [
-            ("res2", 3, 64, 256, 1),
-            ("res3", 4, 128, 512, 2),
-            ("res4", 6, 256, 1024, 2),
-            ("res5", 3, 512, 2048, 2),
+            ("res2", blocks_per_stage[0], bottleneck_base, 256, 1),
+            ("res3", blocks_per_stage[1], bottleneck_base * 2, 512, 2),
+            ("res4", blocks_per_stage[2], bottleneck_base * 4, 1024, 2),
+            ("res5", blocks_per_stage[3], bottleneck_base * 8, 2048, 2),
         ]
         for name, blocks, bott, out_ch, stride in stage_specs:
             for i in range(blocks):
@@ -107,6 +149,7 @@ class ResNet50(nn.Module):
                     out_channels=out_ch,
                     stride=stride if i == 0 else 1,
                     has_shortcut=(i == 0),
+                    groups=self.groups,
                     dtype=self.dtype,
                     name=f"{name}_{i}",
                 )(y)
@@ -154,10 +197,16 @@ def _nearest_x2(x: jax.Array, target_hw: Tuple[int, int]) -> jax.Array:
 
 
 class ResNetFPN(nn.Module):
+    depth: int = 50
+    groups: int = 1
+    width_per_group: int = 64
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.bottom_up = ResNet50(dtype=self.dtype)
+        self.bottom_up = ResNet50(
+            depth=self.depth, groups=self.groups,
+            width_per_group=self.width_per_group, dtype=self.dtype,
+        )
         self.fpn = FPN(dtype=self.dtype)
 
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:

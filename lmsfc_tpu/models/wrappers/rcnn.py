@@ -90,6 +90,9 @@ class _RCNNPart2(nn.Module):
 class _RCNNWrapper(BaseWrapper):
     with_mask = False
     arch_name = "faster_rcnn_R_50_FPN_3x"
+    depth = 50
+    groups = 1
+    width_per_group = 64
 
     def __init__(
         self,
@@ -101,7 +104,9 @@ class _RCNNWrapper(BaseWrapper):
         resize_input: bool = True,
         **kwargs,
     ):
-        self.backbone = ResNetFPN()
+        self.backbone = ResNetFPN(
+            depth=self.depth, groups=self.groups, width_per_group=self.width_per_group
+        )
         self.part2 = _RCNNPart2(with_mask=self.with_mask)
         self._splits = list(splits)
         # Detectron2 ResizeShortestEdge test-time protocol (min 800/max 1333)
@@ -120,7 +125,7 @@ class _RCNNWrapper(BaseWrapper):
             from .torch_weights import load_detectron2_weights
 
             self._params_backbone, self._params_part2 = load_detectron2_weights(
-                self._weights_path, with_mask=self.with_mask
+                self._weights_path, with_mask=self.with_mask, depth=self.depth
             )
             return
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -280,3 +285,21 @@ class FasterRCNNFPN(_RCNNWrapper):
 class MaskRCNNFPN(_RCNNWrapper):
     with_mask = True
     arch_name = "mask_rcnn_R_50_FPN_3x"
+
+
+@register_vision_model("faster_rcnn_X_101_32x8d_FPN_3x")
+class FasterRCNNX101(_RCNNWrapper):
+    """ResNeXt-101 32x8d backbone (the OIV6/SFU anchor model family,
+    ref detectron2.py:277-298)."""
+
+    with_mask = False
+    arch_name = "faster_rcnn_X_101_32x8d_FPN_3x"
+    depth = 101
+    groups = 32
+    width_per_group = 8
+
+
+@register_vision_model("mask_rcnn_X_101_32x8d_FPN_3x")
+class MaskRCNNX101(FasterRCNNX101):
+    with_mask = True
+    arch_name = "mask_rcnn_X_101_32x8d_FPN_3x"

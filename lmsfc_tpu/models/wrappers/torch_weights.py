@@ -48,13 +48,14 @@ def _convbn(sd: Dict, prefix: str) -> Dict:
     return {"conv": {"kernel": _conv(sd[f"{prefix}.weight"])}, "norm": _fold_bn(sd, prefix)}
 
 
-def load_detectron2_weights(path, with_mask: bool = False) -> Tuple[Dict, Dict]:
+def load_detectron2_weights(path, with_mask: bool = False, depth: int = 50) -> Tuple[Dict, Dict]:
     """Returns (backbone_params, part2_params) Flax trees."""
     sd = _load_pickle(path)
 
     bu = "backbone.bottom_up"
     resnet: Dict = {"stem": _convbn(sd, f"{bu}.stem.conv1")}
-    stage_blocks = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+    res4_blocks = {50: 6, 101: 23}[depth]
+    stage_blocks = {"res2": 3, "res3": 4, "res4": res4_blocks, "res5": 3}
     for stage, n in stage_blocks.items():
         for i in range(n):
             p = f"{bu}.{stage}.{i}"

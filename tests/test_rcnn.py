@@ -114,3 +114,17 @@ class TestRCNNWrapper:
         r = results[0]
         assert r["boxes"].ndim == 2 and r["boxes"].shape[1] == 4
         assert len(r["scores"]) == len(r["classes"]) == len(r["boxes"])
+
+
+class TestX101:
+    def test_x101_backbone_shapes(self):
+        """ResNeXt-101 32x8d split halves (tiny input, grouped convs)."""
+        from lmsfc_tpu.models.wrappers.rcnn import FasterRCNNX101
+
+        w = FasterRCNNX101(resize_input=False)
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+        feats = w.input_to_features([{"image_bgr": img}])
+        assert feats["data"]["p2"].shape == (1, 256, 16, 24)
+        results = w.features_to_output(feats)
+        assert len(results) == 1

@@ -42,7 +42,7 @@ from ..utils.readwrite import (
 )
 
 _MAGIC = b"LMF2"
-_VERSION = 1
+_VERSION = 2
 
 
 @register_codec("lmsfc")
@@ -200,6 +200,22 @@ class LMSFCCodec:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
+    def _chunked_gaussian_params(self, hyper_syn, z_hat_all, n_frames):
+        """Run hyper-synthesis in fixed-size chunks (tail edge-padded);
+        identical on encoder and decoder => bit-identical scales/means."""
+        chunk = max(1, self.chunk_frames)
+        scales_parts, means_parts = [], []
+        for s, cnt in self._chunk_iter(n_frames):
+            part = z_hat_all[s : s + cnt]
+            if cnt < chunk:
+                part = np.concatenate(
+                    [part, np.repeat(part[-1:], chunk - cnt, axis=0)]
+                )
+            sc, mn = hyper_syn(self.params, jnp.asarray(part))
+            scales_parts.append(np.asarray(sc, np.float32)[:cnt])
+            means_parts.append(np.asarray(mn, np.float32)[:cnt])
+        return np.concatenate(scales_parts), np.concatenate(means_parts)
+
     # --------------------------------------------------------------- encode
     def encode(
         self,
@@ -244,10 +260,16 @@ class LMSFCCodec:
         z_idx = np.broadcast_to(
             np.arange(z_np.shape[-1], dtype=np.int32), z_np.shape[1:]
         )
-        # Gaussian params are recomputed per frame through the SAME jitted
-        # batch-1 hyper_synthesis the decoder uses: XLA is not bit-stable
-        # across batch shapes, and any scales/means mismatch desyncs rANS.
+        # Gaussian params are recomputed from the QUANTIZED z through the
+        # exact chunked program the decoder runs (chunk size rides in the
+        # header): identical program + identical per-frame inputs => bit-
+        # identical scales/means, so rANS never desyncs. Batch elements are
+        # independent in convs, so tail padding cannot leak across frames.
         hyper_syn = self._hyper_synthesis_fn((y.shape[1], y.shape[2]))
+        z_hat_all = z_sym.astype(np.float32) + self._eb_medians[None, None, None, :]
+        scales_np, means_np = self._chunked_gaussian_params(
+            hyper_syn, z_hat_all, n_frames
+        )
 
         out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
         out_dir.mkdir(parents=True, exist_ok=True)
@@ -257,7 +279,7 @@ class LMSFCCodec:
         byte_sizes: List[int] = []
         with open(path, "wb") as fd:
             fd.write(_MAGIC)
-            write_uchars(fd, (_VERSION, len(names)))
+            write_uchars(fd, (_VERSION, len(names), min(self.chunk_frames, 255)))
             write_uints(fd, (n_frames,))
             for name, (c, h, w) in zip(names, level_shapes):
                 nb = name.encode("ascii")
@@ -276,14 +298,8 @@ class LMSFCCodec:
                     eb_table.cdf_lengths,
                     eb_table.offsets,
                 )
-                z_hat = z_sym[f_idx : f_idx + 1].astype(np.float32) + self._eb_medians[
-                    None, None, None, :
-                ]
-                scales, means = hyper_syn(self.params, jnp.asarray(z_hat))
-                scales_np = np.asarray(scales, np.float32)
-                means_np = np.asarray(means, np.float32)
-                y_sym = np.round(y_np[f_idx : f_idx + 1] - means_np).astype(np.int32)
-                y_idx = GaussianConditional.build_indexes(scales_np)
+                y_sym = np.round(y_np[f_idx] - means_np[f_idx]).astype(np.int32)
+                y_idx = GaussianConditional.build_indexes(scales_np[f_idx])
                 y_bytes = self._enc.encode_with_indexes(
                     y_sym.ravel(),
                     y_idx.ravel(),
@@ -317,9 +333,11 @@ class LMSFCCodec:
         with open(path, "rb") as fd:
             magic = fd.read(4)
             assert magic == _MAGIC, f"bad magic {magic!r}"
-            version, n_levels = read_uchars(fd, 2)
+            version, n_levels, chunk_in_stream = read_uchars(fd, 3)
             assert version == _VERSION
             (n_frames,) = read_uints(fd, 1)
+            # the gaussian-param program must match the encoder's chunking
+            self.chunk_frames = int(chunk_in_stream)
             names, level_shapes = [], []
             for _ in range(n_levels):
                 (name_len,) = read_uchars(fd, 1)
@@ -336,29 +354,30 @@ class LMSFCCodec:
             shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
             synthesis = self._synthesis_fn(shapes_hw)
 
-            y_hat_frames = []
+            z_streams, y_streams = [], []
             for _ in range(n_frames):
                 (z_len,) = read_uints(fd, 1)
-                z_bytes = read_bytes(fd, z_len)
+                z_streams.append(read_bytes(fd, z_len))
                 (y_len,) = read_uints(fd, 1)
-                y_bytes = read_bytes(fd, y_len)
+                y_streams.append(read_bytes(fd, y_len))
 
-                z_sym = self._dec.decode_with_indexes(
-                    z_bytes, z_idx, eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets
-                ).reshape(1, z_h, z_w, z_c)
-                z_hat = z_sym.astype(np.float32) + self._eb_medians[None, None, None, :]
+        z_hat_all = np.empty((n_frames, z_h, z_w, z_c), np.float32)
+        for i, zb in enumerate(z_streams):
+            z_sym = self._dec.decode_with_indexes(
+                zb, z_idx, eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets
+            ).reshape(z_h, z_w, z_c)
+            z_hat_all[i] = z_sym.astype(np.float32) + self._eb_medians[None, None, :]
 
-                scales, means = hyper_syn(self.params, jnp.asarray(z_hat))
-                scales_np = np.asarray(scales, np.float32)
-                means_np = np.asarray(means, np.float32)
-                y_idx = GaussianConditional.build_indexes(scales_np).ravel()
-                y_sym = self._dec.decode_with_indexes(
-                    y_bytes, y_idx, gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets
-                ).reshape(1, y_h, y_w, y_c)
-                y_hat = y_sym.astype(np.float32) + means_np
-                y_hat_frames.append(y_hat)
-
-        y_hat_all = np.concatenate(y_hat_frames, axis=0)
+        scales_np, means_np = self._chunked_gaussian_params(
+            hyper_syn, z_hat_all, n_frames
+        )
+        y_hat_all = np.empty((n_frames, y_h, y_w, y_c), np.float32)
+        for i, yb in enumerate(y_streams):
+            y_idx = GaussianConditional.build_indexes(scales_np[i]).ravel()
+            y_sym = self._dec.decode_with_indexes(
+                yb, y_idx, gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets
+            ).reshape(y_h, y_w, y_c)
+            y_hat_all[i] = y_sym.astype(np.float32) + means_np[i]
         chunk = max(1, self.chunk_frames)
         recon_parts: List[List[np.ndarray]] = []
         for s, cnt in self._chunk_iter(n_frames):

@@ -109,7 +109,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     t = conf.training
     lmbdas = list(t.get("lmbdas", DEFAULT_LMBDAS))
     n_dev = jax.device_count()
-    mesh = make_mesh(dp=n_dev) if n_dev > 1 else None
+    batch = t.get("batch", 8)
+    use_mesh = n_dev > 1 and batch % n_dev == 0
+    mesh = make_mesh(dp=n_dev) if use_mesh else None
+    if n_dev > 1 and not use_mesh:
+        print(f"batch {batch} not divisible by {n_dev} devices; single-device run")
     print(f"devices: {n_dev} ({jax.default_backend()}), rate points: {lmbdas}")
 
     results = {}

@@ -66,3 +66,24 @@ class TestTrainCLI:
         assert np.isfinite(m2["loss"])
         steps = sorted(int(p.name) for p in ckpt.iterdir() if p.name.isdigit())
         assert 6 in steps and 8 in steps
+
+
+class TestTrainMain:
+    def test_multi_rate_main(self, tmp_path, monkeypatch):
+        import json
+        from lmsfc_tpu.run.train import main
+
+        monkeypatch.chdir(tmp_path)
+        main([
+            "training.channels=[8,8]", "training.num_filters=16",
+            "training.latent_filters=16", "training.hyper_filters=8",
+            "training.dtype=float32", "training.batch=2",
+            "training.base_hw=[16,16]", "training.steps=2",
+            "training.log_every=1", "training.ckpt_every=2",
+            "training.lmbdas=[0.0125,0.05]",
+            f"training.ckpt_root={tmp_path}/ck",
+        ])
+        res = json.loads((tmp_path / "ck" / "train_results.json").read_text())
+        assert set(res.keys()) == {"0.0125", "0.05"}
+        assert (tmp_path / "ck" / "q1_lmbda0.0125").exists()
+        assert (tmp_path / "ck" / "q2_lmbda0.05").exists()

@@ -62,6 +62,14 @@ def _summarize_performance(performance: Dict, criteria: str = "") -> Optional[fl
 
 def run(conf: Config) -> Dict:
     device = conf.select("misc.device", "tpu")
+    if device == "cpu":
+        # must win over the axon sitecustomize platform override
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backends already initialized
     vision_model = create_vision_model(conf.vision_model)
     dataloader = create_dataloader(conf.dataset, device)
     evaluator = create_evaluator(

@@ -138,6 +138,17 @@ class _RCNNWrapper(BaseWrapper):
         return self._splits
 
     # ------------------------------------------------------------ NN-Part1
+    def expected_input_size(self, org_hw: Tuple[int, int]) -> Tuple[int, int]:
+        """Post-resize (pre-padding) size for a given original size — lets
+        decode_only runs reconstruct NN2 metadata without running NN1."""
+        h, w = org_hw
+        if not self.resize_input:
+            return h, w
+        scale = self.min_size_test / min(h, w)
+        if max(h, w) * scale > self.max_size_test:
+            scale = self.max_size_test / max(h, w)
+        return int(round(h * scale)), int(round(w * scale))
+
     def resize_shortest_edge(self, img: np.ndarray) -> np.ndarray:
         """Detectron2 test-time resize: shortest edge -> min_size_test,
         capped so the long edge <= max_size_test (hard part 4, SURVEY.md §7:

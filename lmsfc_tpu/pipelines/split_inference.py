@@ -39,21 +39,33 @@ class ImageSplitInference(BasePipeline):
                 org = sample.get("org_input_size", {})
                 n_pixels += org.get("height", 0) * org.get("width", 0)
 
-                self.timer.start(Parts.NNTaskPart1.value)
-                feats = self._from_input_to_features(vision_model, [sample], file_prefix)
-                self.timer.stop()
+                if self.decode_only:
+                    # resume from existing bitstreams (ref image_split_
+                    # inference.py:86-129 decode_only globs .bin files)
+                    bin_path = self.codec_output_dir / f"{file_prefix}_bitstream.bin"
+                    assert bin_path.exists(), f"decode_only: missing {bin_path}"
+                    coded_bytes.append(bin_path.stat().st_size)
+                    h, w = org.get("height", 0), org.get("width", 0)
+                    if hasattr(vision_model, "expected_input_size"):
+                        h, w = vision_model.expected_input_size((h, w))
+                    feats = {"input_size": [(h, w)], "org_input_size": org}
+                    enc = {"bitstream": str(bin_path)}
+                else:
+                    self.timer.start(Parts.NNTaskPart1.value)
+                    feats = self._from_input_to_features(vision_model, [sample], file_prefix)
+                    self.timer.stop()
 
-                self.dump_conformance(feats["data"], file_prefix)
+                    self.dump_conformance(feats["data"], file_prefix)
 
-                self.timer.start(Parts.Encoder.value)
-                enc = self._compress(
-                    codec, feats, self.codec_output_dir, "bitstream", file_prefix
-                )
-                self.timer.stop()
-                coded_bytes.extend(enc["bytes"])
+                    self.timer.start(Parts.Encoder.value)
+                    enc = self._compress(
+                        codec, feats, self.codec_output_dir, "bitstream", file_prefix
+                    )
+                    self.timer.stop()
+                    coded_bytes.extend(enc["bytes"])
 
-                if self.encode_only:
-                    continue
+                    if self.encode_only:
+                        continue
 
                 self.timer.start(Parts.Decoder.value)
                 dec = self._decompress(

@@ -107,3 +107,29 @@ def test_e2e_lmsfc(tiny_coco_dataset, tmp_path):
     assert s["bpp"] < raw_bpp / 10
     bin_files = list((tmp_path / "run2" / "codec").glob("*.bin"))
     assert len(bin_files) == 3  # one bitstream per image
+
+
+def test_encode_only_then_decode_only(tiny_coco_dataset, tmp_path):
+    """Staged restartability: encode_only writes bitstreams; a separate
+    decode_only run consumes them (ref SURVEY.md §5 coarse restartability)."""
+    out_dir = tmp_path / "staged"
+    conf = _conf(
+        tiny_coco_dataset, out_dir, codec_type="lmsfc",
+        codec_settings={"num_filters": 16, "latent_filters": 16,
+                        "hyper_filters": 8, "dtype": "float32", "seed": 7},
+    )
+    conf.pipeline.encode_only = True
+    run(conf)
+    bins = list((out_dir / "codec").glob("img_id_*_bitstream.bin"))
+    assert len(bins) == 3
+    assert not any("AP" in str(p) for p in out_dir.iterdir())
+
+    conf2 = _conf(
+        tiny_coco_dataset, out_dir, codec_type="lmsfc",
+        codec_settings={"num_filters": 16, "latent_filters": 16,
+                        "hyper_filters": 8, "dtype": "float32", "seed": 7},
+    )
+    conf2.pipeline.decode_only = True
+    out = run(conf2)
+    assert "AP" in out["performance"]
+    assert out["summary"]["bpp"] > 0

@@ -127,3 +127,18 @@ def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.logical_and(a, b).sum()
     union = np.logical_or(a, b).sum()
     return float(inter / union) if union else 0.0
+
+
+def rle_from_base64(b64_counts: str, size) -> np.ndarray:
+    """Decode a base64-wrapped compressed-RLE mask (the OIV6 annotation
+    format the reference handles at datasets/image.py:56-67 and
+    evaluators/evaluators.py RLE b64 paths)."""
+    import base64
+    import zlib
+
+    raw = base64.b64decode(b64_counts)
+    try:
+        raw = zlib.decompress(raw)
+    except zlib.error:
+        pass  # plain (non-zlib) counts
+    return rle_decode({"size": list(size), "counts": raw.decode("ascii")})

@@ -10,6 +10,9 @@ Usage: python scripts/bench_detail.py [batch]
 import statistics
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

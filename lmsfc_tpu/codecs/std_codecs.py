@@ -216,6 +216,10 @@ class VTM(_ImageModeMixin, BaseCodec):
         packed, feature_size, subframe_heights = pack_feature_dict_to_frames(
             {k: jnp.asarray(v) for k, v in data.items()}, anchor=anchor
         )
+        dump_fpn_sizes_json(
+            feature_size, subframe_heights,
+            out_dir / f"{stem}{bitstream_name}_fpn-sizes.json",
+        )
         packed = np.asarray(packed)
         n_frames, frm_h, frm_w = packed.shape
         minv, maxv = self._min_max()
@@ -372,6 +376,27 @@ class VVENC(VTM):
 
     def get_decode_cmd(self, bin_path, yuv_out):
         return [self.decoder_path, "-b", str(bin_path), "-o", str(yuv_out)]
+
+
+def dump_fpn_sizes_json(
+    feature_size: Dict[str, Tuple[int, int, int, int]],
+    subframe_heights: Dict[str, int],
+    path: Path,
+) -> None:
+    """Write the reference-compatible fpn-sizes sideband JSON
+    ({"fpn": {level: [N,C,H,W]}, "subframe_heights": {level: h}} — ref
+    std_codecs.py:672-682, data/mpeg-fcm/*/fpn-sizes/*.json). Our bitstreams
+    are self-decodable, but the sideband lets reference-style decoders
+    consume anchors produced here.
+    """
+    import json
+
+    payload = {
+        "fpn": {k: list(v) for k, v in feature_size.items()},
+        "subframe_heights": {k: int(v) for k, v in subframe_heights.items()},
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(payload, indent=4))
 
 
 def _slice_yuv(src: Path, dst: Path, w: int, h: int, start: int, count: int) -> None:

@@ -163,10 +163,16 @@ class VideoSplitInference(BasePipeline):
 
         performance = self._evaluation(evaluator)
         org = samples[0].get("org_input_size", {}) if samples else {}
+        # fps from the sequence's seqinfo.ini via the catalog (ref
+        # datasets/utils.py:152-158), falling back to NN1 metadata
+        fps = meta.get("fps")
+        catalog = getattr(getattr(dataloader, "dataset", None), "catalog", None)
+        if fps is None and catalog is not None:
+            fps = getattr(catalog, "seq_info", {}).get("fps")
         coded_res = {
             "bytes": enc["bytes"],
             "total_pixels": n_frames * org.get("height", 0) * org.get("width", 0),
             "n_frames": n_frames,
-            "fps": meta.get("fps", 30),
+            "fps": fps or 30,
         }
         return self.timer.times, codec.eval_encode_type, coded_res, performance

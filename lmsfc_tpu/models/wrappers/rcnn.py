@@ -211,13 +211,20 @@ class _RCNNWrapper(BaseWrapper):
         }
 
     # ------------------------------------------------------------ NN-Part2
-    def _part2_fn(self, shapes):
-        key = ("p2", shapes)
+    def _part2_fn(self, shapes, image_hw):
+        """Jitted NN-Part2, vmapped over the frame axis (all frames of a
+        sequence share a geometry, so one compiled program serves the whole
+        video and amortizes per-frame dispatch)."""
+        key = ("p2", shapes, image_hw)
         if key not in self._jit_cache:
 
-            @jax.jit
-            def fn(params, pyramid, image_hw):
+            def single(params, pyramid):
+                pyramid = tuple(p[None] for p in pyramid)  # [1,H,W,C] each
                 return self.part2.apply({"params": params}, pyramid, image_hw)
+
+            @jax.jit
+            def fn(params, pyramid_batched):
+                return jax.vmap(single, in_axes=(None, 0))(params, pyramid_batched)
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]
@@ -228,23 +235,26 @@ class _RCNNWrapper(BaseWrapper):
         org = x.get("org_input_size", {"height": h, "width": w})
         oh, ow = org["height"], org["width"]
 
-        pyr_batched = [jnp.transpose(jnp.asarray(np.asarray(data[k])), (0, 2, 3, 1)) for k in self._splits]
+        pyr_batched = tuple(
+            jnp.transpose(jnp.asarray(np.asarray(data[k])), (0, 2, 3, 1)) for k in self._splits
+        )
         n = pyr_batched[0].shape[0]
+        fn = self._part2_fn(tuple(p.shape[1:] for p in pyr_batched), (h, w))
+        det = fn(self._params_part2, pyr_batched)
+        det = {k: np.asarray(v) for k, v in det.items()}
+
         results = []
         for i in range(n):
-            pyramid = tuple(p[i : i + 1] for p in pyr_batched)
-            fn = self._part2_fn(tuple(p.shape for p in pyramid))
-            det = fn(self._params_part2, pyramid, (h, w))
-            boxes = rescale_boxes(det["boxes"], (h, w), (oh, ow))
-            valid = np.asarray(det["valid"])
+            boxes = rescale_boxes(jnp.asarray(det["boxes"][i]), (h, w), (oh, ow))
+            valid = det["valid"][i]
             res = {
                 "boxes": np.asarray(boxes)[valid],
-                "scores": np.asarray(det["scores"])[valid],
-                "classes": np.asarray(det["classes"])[valid],
+                "scores": det["scores"][i][valid],
+                "classes": det["classes"][i][valid],
                 "image_size": (oh, ow),
             }
             if "masks" in det:
-                res["masks_28"] = np.asarray(det["masks"])[valid]
+                res["masks_28"] = det["masks"][i][valid]
             results.append(res)
         return results
 

@@ -92,14 +92,16 @@ class JDE1088x608(BaseWrapper):
 
     # ------------------------------------------------------------ NN-Part2
     def _nn2_fn(self, shapes):
+        """Jitted NN-Part2, vmapped over the frame axis (the tracker is the
+        only sequential part; the network resumes for all frames at once)."""
         key = ("nn2", shapes)
         if key not in self._jit_cache:
             method = (
                 JDENet.outputs_from_backbone if self.backbone_split else JDENet.outputs_from_head
             )
 
-            @jax.jit
-            def fn(params, feats):
+            def single(params, feats):
+                feats = {k: v[None] for k, v in feats.items()}
                 out = self.net.apply({"params": params}, feats, method=method)
                 boxes, confs, embs = [], [], []
                 for stride, (pred, emb) in out.items():
@@ -115,21 +117,23 @@ class JDE1088x608(BaseWrapper):
                 top_c, top_i = jax.lax.top_k(confs, k)
                 return boxes[top_i], top_c, embs[top_i]
 
+            @jax.jit
+            def fn(params, feats_batched):
+                return jax.vmap(single, in_axes=(None, 0))(params, feats_batched)
+
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
     def features_to_output(self, x: Dict, device: str = "tpu") -> List[List[Dict]]:
         data = {k: jnp.transpose(jnp.asarray(np.asarray(v)), (0, 2, 3, 1)) for k, v in x["data"].items()}
         n = next(iter(data.values())).shape[0]
-        results = []
-        for i in range(n):
-            feats = {k: v[i : i + 1] for k, v in data.items()}
-            fn = self._nn2_fn(tuple(v.shape for v in feats.values()))
-            boxes, confs, embs = fn(self._params, feats)
-            results.append(self._track_frame(
-                np.asarray(boxes), np.asarray(confs), np.asarray(embs), x
-            ))
-        return results
+        fn = self._nn2_fn(tuple(v.shape[1:] for v in data.values()))
+        boxes, confs, embs = fn(self._params, data)
+        boxes, confs, embs = np.asarray(boxes), np.asarray(confs), np.asarray(embs)
+        # sequential host tracker per frame (order-dependent, ref jde.py:379)
+        return [
+            self._track_frame(boxes[i], confs[i], embs[i], x) for i in range(n)
+        ]
 
     def _track_frame(
         self, boxes_xywh: np.ndarray, confs: np.ndarray, embs: np.ndarray, meta: Dict

@@ -76,18 +76,24 @@ def main():
 
     dt2 = timeit(f"codec fwd (b{batch})", codec)
 
-    # NN-Part2 (single image)
+    # NN-Part2, vmapped over the frame axis (matches the wrapper's path)
     part2 = _RCNNPart2(with_mask=False)
-    pyr = [f[:1] for f in feats]
-    p2_params = part2.init(jax.random.key(1), pyr, (h, w))["params"]
+    pyr1 = [f[:1] for f in feats]
+    p2_params = part2.init(jax.random.key(1), pyr1, (h, w))["params"]
+
+    def single(params, pyramid):
+        pyramid = tuple(p[None] for p in pyramid)
+        return part2.apply({"params": params}, pyramid, (h, w))
 
     @jax.jit
     def nn2(c):
-        det = part2.apply({"params": p2_params}, [pyr[0] + c] + pyr[1:], (h, w))
+        det = jax.vmap(single, in_axes=(None, 0))(
+            p2_params, tuple([feats[0] + c] + feats[1:])
+        )
         return (jnp.sum(det["boxes"]) + jnp.sum(det["scores"])) * 1e-30
 
-    dt3 = timeit("NN2 RPN+ROI (b1)", nn2)
-    total = dt1 / batch + dt2 / batch + dt3
+    dt3 = timeit(f"NN2 RPN+ROI (b{batch})", nn2)
+    total = (dt1 + dt2 + dt3) / batch
     print(f"\nsplit-inference device path: {total*1000:.1f} ms/frame -> {1/total:.1f} frames/s/chip")
 
 

@@ -85,6 +85,13 @@ def run(conf: Config) -> Dict:
         )
     write_outputs(conf, out_dir)
 
+    # run banner of the composed modules (ref :112-140)
+    print(
+        f"pipeline={type(pipeline).__name__} codec={type(codec).__name__}"
+        f"(qp={codec.qp_value}) model={type(vision_model).__name__} "
+        f"dataset={type(dataloader.dataset).__name__}"
+        f"[{len(dataloader.dataset)}] evaluator={type(evaluator).__name__ if evaluator else 'VOID'}"
+    )
     with pipeline.maybe_profile():
         timing, eval_encode_type, coded_res, performance = pipeline(
             vision_model, codec, dataloader, evaluator

@@ -68,28 +68,52 @@ def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
 def nms_fixed(
     boxes: jax.Array, scores: jax.Array, iou_threshold: float, max_out: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Greedy NMS over a FIXED box count; returns (keep_indices[max_out], valid mask).
+    """EXACT greedy NMS over a FIXED box count; returns
+    (keep_indices[max_out] score-ordered, valid mask).
 
-    Scores of suppressed/invalid boxes must be -inf. O(N^2) IoU matrix + a
-    scan of max_out greedy picks — MXU/VPU friendly, no dynamic shapes.
+    Instead of max_out sequential scan steps (latency-bound on TPU), the
+    greedy fixpoint is computed by iterating a parallel matrix rule:
+      kept     <- undecided boxes whose higher-score overlaps are ALL rejected
+      rejected <- undecided boxes overlapped by any kept box
+    Each pass finalizes one layer of the suppression DAG, so the loop runs
+    depth(chain) times (typically < 10, never more than N), with O(N^2)
+    vectorized work per pass. Produces exactly the classic
+    highest-score-first result. Scores of invalid boxes must be -inf.
     """
     n = boxes.shape[0]
     iou = box_iou(boxes, boxes)
+    finite = scores > -jnp.inf
+    # strict score order with index tiebreak (greedy processes by score)
+    idx = jnp.arange(n)
+    higher = (scores[None, :] > scores[:, None]) | (
+        (scores[None, :] == scores[:, None]) & (idx[None, :] < idx[:, None])
+    )
+    conflict = higher & (iou > iou_threshold) & finite[None, :] & finite[:, None]
 
-    def body(carry, _):
-        live_scores = carry
-        best = jnp.argmax(live_scores)
-        best_score = live_scores[best]
-        valid = best_score > -jnp.inf
-        # suppress overlapping + the chosen one
-        suppress = (iou[best] > iou_threshold) | (
-            jnp.arange(n) == best
-        )
-        new_scores = jnp.where(valid & suppress, -jnp.inf, live_scores)
-        return new_scores, (jnp.where(valid, best, -1), valid)
+    # state: 0 undecided, 1 kept, 2 rejected (invalid boxes start rejected)
+    state0 = jnp.where(finite, 0, 2)
 
-    _, (keep, valid) = jax.lax.scan(body, scores, None, length=max_out)
-    return keep, valid
+    def cond(state):
+        return jnp.any(state == 0)
+
+    def body(state):
+        undecided = state == 0
+        rejected = state == 2
+        kept = state == 1
+        # all higher-score conflicts already rejected -> keep
+        blocked = jnp.any(conflict & ~rejected[None, :], axis=1)
+        new_kept = undecided & ~blocked
+        kept = kept | new_kept
+        # overlapped by any kept higher-score box -> reject
+        new_rej = undecided & jnp.any(conflict & kept[None, :], axis=1)
+        return jnp.where(new_kept, 1, jnp.where(new_rej, 2, state))
+
+    state = jax.lax.while_loop(cond, body, state0)
+    kept = state == 1
+    kept_scores = jnp.where(kept, scores, -jnp.inf)
+    top_scores, keep_idx = jax.lax.top_k(kept_scores, max_out)
+    valid = top_scores > -jnp.inf
+    return jnp.where(valid, keep_idx, -1), valid
 
 
 def batched_nms_fixed(

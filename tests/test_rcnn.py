@@ -128,3 +128,43 @@ class TestX101:
         assert feats["data"]["p2"].shape == (1, 256, 16, 24)
         results = w.features_to_output(feats)
         assert len(results) == 1
+
+
+class TestMatrixNMSEquivalence:
+    def test_matches_sequential_greedy_reference(self):
+        """Iterative matrix NMS must equal classic greedy NMS exactly."""
+        rng = np.random.default_rng(0)
+        for trial in range(5):
+            n = 200
+            centers = rng.uniform(0, 100, (n, 2))
+            wh = rng.uniform(5, 30, (n, 2))
+            boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1)
+            scores = rng.uniform(0, 1, n)
+            scores[rng.random(n) < 0.1] = -np.inf  # some invalid
+
+            # numpy sequential greedy
+            def greedy(boxes, scores, t):
+                order = np.argsort(-scores)
+                keep, suppressed = [], np.zeros(n, bool)
+                for i in order:
+                    if suppressed[i] or scores[i] == -np.inf:
+                        continue
+                    keep.append(i)
+                    xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+                    yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+                    xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+                    yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+                    inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+                    a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                    ai = a[i]
+                    iou = inter / np.maximum(ai + a - inter, 1e-12)
+                    suppressed |= iou > t
+                return keep
+
+            expect = greedy(boxes, scores, 0.5)
+            keep, valid = nms_fixed(
+                jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32),
+                0.5, 50,
+            )
+            got = np.asarray(keep)[np.asarray(valid)]
+            assert list(got) == expect[: len(got)], f"trial {trial}"

@@ -164,7 +164,7 @@ class LMSFCCodec:
         return self._jit_cache[key]
 
     def _chunk_iter(self, n_frames: int):
-        """Yield (start, count, padded_slice_fn) over fixed-size chunks."""
+        """Yield (start, count) over fixed-size frame chunks."""
         c = max(1, self.chunk_frames)
         for s in range(0, n_frames, c):
             yield s, min(c, n_frames - s)

@@ -48,8 +48,10 @@ def _calc_bitrate(coded_res: Dict) -> float:
 _CRITERIA_KEYS = ("mAP@0.5IOU", "AP", "mota")
 
 
-def _summarize_performance(performance: Dict, criteria: str = "") -> Optional[float]:
+def _summarize_performance(performance, criteria: str = "") -> Optional[float]:
     """Pick the headline accuracy number (ref _summerize_performance :232-271)."""
+    if isinstance(performance, (list, tuple)):  # multi-task pipelines
+        performance = performance[0] if performance else {}
     if not performance:
         return None
     if criteria and criteria in performance:

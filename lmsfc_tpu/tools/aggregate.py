@@ -92,9 +92,43 @@ def main() -> None:
     elif mode == "cttc":
         cttc_csv(files, Path(out))
         print(f"wrote {out}")
+    elif mode == "sfu-map":
+        res = overall_map_by_group(files)
+        Path(out).write_text(json.dumps(res, indent=2, default=float))
+        print(json.dumps(res, default=float))
     else:
-        raise SystemExit(f"unknown mode {mode!r} (map|mot|cttc)")
+        raise SystemExit(f"unknown mode {mode!r} (map|mot|cttc|sfu-map)")
 
 
 if __name__ == "__main__":
     main()
+
+
+# SFU-HW sequence -> class grouping (ref utils/compute_overall_map.py:89-183
+# aggregates class-AB/C/D groups by merging per-sequence detections)
+SFU_CLASS_GROUPS = {
+    "CLASS-AB": ["Traffic", "ParkScene", "Cactus", "BasketballDrive", "BQTerrace", "Kimono"],
+    "CLASS-C": ["BasketballDrill", "BQMall", "PartyScene", "RaceHorsesC"],
+    "CLASS-D": ["BasketballPass", "BQSquare", "BlowingBubbles", "RaceHorses"],
+}
+
+
+def overall_map_by_group(state_files: List[Path]) -> Dict:
+    """Group per-sequence COCOEval state files by SFU class (matched on the
+    file's parent/sequence name) and compute overall mAP per group + total."""
+    groups: Dict[str, List[Path]] = {g: [] for g in SFU_CLASS_GROUPS}
+    for f in state_files:
+        name = Path(f).stem + Path(f).parent.name
+        for group, seqs in SFU_CLASS_GROUPS.items():
+            if any(s.lower() in name.lower() for s in seqs):
+                groups[group].append(f)
+                break
+    out: Dict = {}
+    for group, files in groups.items():
+        if files:
+            out[group] = {
+                k: v for k, v in overall_map(files).items() if k != "per_class_AP50"
+            }
+    total = overall_map(state_files)
+    out["ALL"] = {k: v for k, v in total.items() if k != "per_class_AP50"}
+    return out

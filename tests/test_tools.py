@@ -62,3 +62,26 @@ class TestCLI:
         main(["list-plugins"])
         out = capsys.readouterr().out
         assert "lmsfc" in out and "video-split-inference" in out
+
+
+class TestSFUGroups:
+    def test_group_aggregation(self, tmp_path):
+        import numpy as np
+        from lmsfc_tpu.evaluators.coco import COCOEval
+        from lmsfc_tpu.tools.aggregate import overall_map_by_group
+
+        def make_state(path, hit):
+            ev = COCOEval()
+            gt = {"image_id": 0, "annotations": [
+                {"bbox": [10, 10, 20, 20], "category_id": 0, "iscrowd": 0}]}
+            box = [10.0, 10.0, 30.0, 30.0] if hit else [100.0, 100.0, 120.0, 120.0]
+            ev.digest(gt, {"boxes": np.array([box]), "scores": np.array([0.9]),
+                           "classes": np.array([0])})
+            ev.save_state(path)
+
+        make_state(tmp_path / "Traffic_q1.pkl", True)       # class AB, perfect
+        make_state(tmp_path / "BasketballDrill_q1.pkl", False)  # class C, miss
+        res = overall_map_by_group(sorted(tmp_path.glob("*.pkl")))
+        assert res["CLASS-AB"]["AP50"] == 100.0
+        assert res["CLASS-C"]["AP50"] == 0.0
+        assert 0.0 < res["ALL"]["AP50"] < 100.0

@@ -85,3 +85,28 @@ class TestSFUGroups:
         assert res["CLASS-AB"]["AP50"] == 100.0
         assert res["CLASS-C"]["AP50"] == 0.0
         assert 0.0 < res["ALL"]["AP50"] < 100.0
+
+
+class TestMPEGTemplate:
+    def test_bd_report(self, tmp_path):
+        import csv as _csv
+        from lmsfc_tpu.tools.mpeg_template import build_report
+
+        def write_cttc(path, seqs, rate_scale):
+            with open(path, "w", newline="") as f:
+                w = _csv.DictWriter(f, fieldnames=["Sequence", "Bitrate [kbps]", "End-to-end accuracy"])
+                w.writeheader()
+                for seq in seqs:
+                    for r, a in [(100, 60), (200, 70), (400, 76), (800, 80)]:
+                        w.writerow({"Sequence": seq, "Bitrate [kbps]": r * rate_scale,
+                                    "End-to-end accuracy": a})
+
+        seqs = ["Traffic_2560", "BasketballDrill_832"]
+        write_cttc(tmp_path / "anchor.csv", seqs, 1.0)
+        write_cttc(tmp_path / "test.csv", seqs, 0.5)  # half rate, same accuracy
+        summary = build_report(tmp_path / "test.csv", tmp_path / "anchor.csv",
+                               tmp_path / "report.csv")
+        assert summary["OVERALL"] == pytest.approx(-50.0, abs=1.0)
+        assert "CLASS-AB" in summary and "CLASS-C" in summary
+        rows = list(_csv.DictReader(open(tmp_path / "report.csv")))
+        assert any("OVERALL" in r["Sequence"] for r in rows)

@@ -1,0 +1,320 @@
+"""Temporal L-MSFC codec plugin ("lmsfc-temporal").
+
+Conditional latent coding for video feature sequences (BASELINE.json config:
+temporal feature coding on TVD/HiEve): frame-parallel transforms + a
+sequential closed-loop entropy stage — each frame's gaussian params combine
+the hyperprior with a predictor on the previous DECODED latent, resetting at
+every intra period (GOP-aligned with the anchors).
+
+Bitstream 'LMFT': header (levels/shapes/y/z geometry/intra_period) +
+per-frame z and y rANS streams. Encoder and decoder run the identical
+jitted batch-1 predictor program, so rANS stays in sync.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.entropy_bottleneck import build_eb_cdf_table
+from ..entropy.gaussian_conditional import GaussianConditional
+from ..models.lmsfc_temporal import LMSFCv2Temporal
+from ..native import RansDecoder, RansEncoder
+from ..registry import register_codec
+from ..utils.readwrite import (
+    read_bytes,
+    read_uchars,
+    read_uints,
+    write_bytes,
+    write_uchars,
+    write_uints,
+)
+
+_MAGIC = b"LMFT"
+_VERSION = 1
+
+
+@register_codec("lmsfc-temporal")
+class LMSFCTemporalCodec:
+    def __init__(
+        self,
+        vision_model: Any = None,
+        dataset: Any = None,
+        eval_encode: str = "bitrate",
+        qp: Optional[int] = None,
+        num_filters: int = 192,
+        latent_filters: int = 192,
+        hyper_filters: int = 128,
+        out_channels: Sequence[int] = (256, 256, 256, 256),
+        intra_period: int = 8,
+        checkpoint_dir: Optional[str] = None,
+        params: Optional[Dict] = None,
+        seed: int = 0,
+        dtype: str = "bfloat16",
+        **kwargs,
+    ):
+        import logging
+
+        self.logger = logging.getLogger(self.__class__.__name__)
+        self.qp = qp
+        self.eval_encode = eval_encode
+        self.out_channels = tuple(out_channels)
+        self.intra_period = int(intra_period)
+        self.model = LMSFCv2Temporal(
+            out_channels=self.out_channels,
+            num_filters=num_filters,
+            latent_filters=latent_filters,
+            hyper_filters=hyper_filters,
+            intra_period=self.intra_period,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        )
+        self._params = params
+        self._checkpoint_dir = checkpoint_dir
+        self._seed = seed
+        self._gaussian = GaussianConditional()
+        self._tables_cache = None
+        self._enc, self._dec = RansEncoder(), RansDecoder()
+        self._jit: Dict = {}
+
+    # ------------------------------------------------------------- params
+    @property
+    def params(self) -> Dict:
+        if self._params is None:
+            if self._checkpoint_dir is not None:
+                from ..training.checkpoint import CheckpointManager
+
+                restored = CheckpointManager(Path(self._checkpoint_dir)).restore()
+                if restored is not None:
+                    self._params = restored["params"]
+            if self._params is None:
+                self.logger.warning("no checkpoint; random temporal-codec params")
+                feats = []
+                h, w = 64, 64
+                for c in self.out_channels:
+                    feats.append(jnp.zeros((2, h, w, c), jnp.float32))
+                    h, w = -(-h // 2), -(-w // 2)
+                self._params = self.model.init(
+                    {"params": jax.random.key(self._seed), "noise": jax.random.key(1)},
+                    feats,
+                )["params"]
+        return self._params
+
+    def _tables(self):
+        if self._tables_cache is None:
+            eb = build_eb_cdf_table(
+                jax.tree_util.tree_map(
+                    np.asarray, self.params["base"]["entropy_bottleneck"]
+                )
+            )
+            medians = np.asarray(
+                self.params["base"]["entropy_bottleneck"]["quantiles"]
+            )[:, 0, 1]
+            gc = self._gaussian.cdf_table()
+            self._tables_cache = (eb, medians, gc)
+        return self._tables_cache
+
+    # -------------------------------------------------------------- jits
+    def _analysis_fn(self, shapes):
+        key = ("ana", shapes)
+        if key not in self._jit:
+
+            @jax.jit
+            def fn(params, feats):
+                return self.model.apply(
+                    {"params": params}, list(feats), method=LMSFCv2Temporal.analysis_clip
+                )
+
+            self._jit[key] = fn
+        return self._jit[key]
+
+    def _predict_fn(self, y_shape):
+        key = ("pred", y_shape)
+        if key not in self._jit:
+
+            @jax.jit
+            def fn(params, y_prev, sh, mh, is_intra):
+                return self.model.apply(
+                    {"params": params}, y_prev, sh, mh, is_intra,
+                    method=LMSFCv2Temporal.predict_params,
+                )
+
+            self._jit[key] = fn
+        return self._jit[key]
+
+    def _synthesis_fn(self, shapes_hw, t):
+        key = ("syn", shapes_hw, t)
+        if key not in self._jit:
+
+            @jax.jit
+            def fn(params, y_hat):
+                return self.model.apply(
+                    {"params": params}, y_hat, shapes_hw,
+                    method=LMSFCv2Temporal.synthesis_clip,
+                )
+
+            self._jit[key] = fn
+        return self._jit[key]
+
+    # -------------------------------------------------------------- encode
+    def encode(self, input: Dict, codec_output_dir="", bitstream_name="sequence",
+               file_prefix="", img_input=False) -> Dict:
+        assert not img_input
+        data = input["data"]
+        names = list(data.keys())
+        feats = [
+            jnp.transpose(jnp.asarray(np.asarray(v)), (0, 2, 3, 1)) for v in data.values()
+        ]
+        n_frames = feats[0].shape[0]
+        level_shapes = [(f.shape[3], f.shape[1], f.shape[2]) for f in feats]
+
+        analysis = self._analysis_fn(tuple(f.shape for f in feats))
+        y, z, scales_h, means_h = analysis(self.params, feats)
+        y_np = np.asarray(y, np.float32)
+        sh_np = np.asarray(scales_h, np.float32)
+        mh_np = np.asarray(means_h, np.float32)
+        eb, eb_medians, gc = self._tables()
+
+        z_np = np.asarray(z, np.float32)
+        z_sym = np.round(z_np - eb_medians[None, None, None, :]).astype(np.int32)
+        z_idx = np.broadcast_to(
+            np.arange(z_np.shape[-1], dtype=np.int32), z_np.shape[1:]
+        ).ravel()
+
+        predict = self._predict_fn(y.shape[1:])
+        out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        stem = f"{file_prefix}_" if file_prefix else ""
+        path = out_dir / f"{stem}{bitstream_name}.bin"
+
+        byte_sizes: List[float] = []
+        with open(path, "wb") as fd:
+            fd.write(_MAGIC)
+            write_uchars(fd, (_VERSION, len(names), min(self.intra_period, 255)))
+            write_uints(fd, (n_frames,))
+            for name, (c, h, w) in zip(names, level_shapes):
+                nb = name.encode("ascii")
+                write_uchars(fd, (len(nb),))
+                write_bytes(fd, nb)
+                write_uints(fd, (c, h, w))
+            write_uints(fd, (y.shape[1], y.shape[2], y.shape[3]))
+            write_uints(fd, (z.shape[1], z.shape[2], z.shape[3]))
+            header = fd.tell()
+
+            y_prev = np.zeros((1,) + tuple(y.shape[1:]), np.float32)
+            for t in range(n_frames):
+                z_bytes = self._enc.encode_with_indexes(
+                    z_sym[t].ravel(), z_idx, eb.cdfs, eb.cdf_lengths, eb.offsets
+                )
+                is_intra = (t % self.intra_period) == 0
+                scales, means = predict(
+                    self.params, jnp.asarray(y_prev),
+                    jnp.asarray(sh_np[t : t + 1]), jnp.asarray(mh_np[t : t + 1]),
+                    is_intra,
+                )
+                scales = np.asarray(scales, np.float32)
+                means = np.asarray(means, np.float32)
+                y_sym = np.round(y_np[t : t + 1] - means).astype(np.int32)
+                y_idx = GaussianConditional.build_indexes(scales)
+                y_bytes = self._enc.encode_with_indexes(
+                    y_sym.ravel(), y_idx.ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
+                )
+                write_uints(fd, (len(z_bytes),))
+                write_bytes(fd, z_bytes)
+                write_uints(fd, (len(y_bytes),))
+                write_bytes(fd, y_bytes)
+                byte_sizes.append(len(z_bytes) + len(y_bytes) + 8)
+                # closed loop: next frame predicts from the DECODED latent
+                y_prev = y_sym.astype(np.float32) + means
+
+        per_frame_header = header / n_frames
+        return {
+            "bytes": [b + per_frame_header for b in byte_sizes],
+            "bitstream": str(path),
+        }
+
+    # -------------------------------------------------------------- decode
+    def decode(self, input, codec_output_dir="", file_prefix="", org_img_size=None,
+               img_input=False) -> Dict:
+        path = Path(input if isinstance(input, (str, Path)) else input["bitstream"])
+        eb, eb_medians, gc = self._tables()
+        with open(path, "rb") as fd:
+            assert fd.read(4) == _MAGIC, "bad temporal-codec magic"
+            version, n_levels, intra_period = read_uchars(fd, 3)
+            assert version == _VERSION
+            (n_frames,) = read_uints(fd, 1)
+            names, level_shapes = [], []
+            for _ in range(n_levels):
+                (ln,) = read_uchars(fd, 1)
+                names.append(read_bytes(fd, ln).decode("ascii"))
+                level_shapes.append(read_uints(fd, 3))
+            y_h, y_w, y_c = read_uints(fd, 3)
+            z_h, z_w, z_c = read_uints(fd, 3)
+            streams = []
+            for _ in range(n_frames):
+                (zl,) = read_uints(fd, 1)
+                zb = read_bytes(fd, zl)
+                (yl,) = read_uints(fd, 1)
+                yb = read_bytes(fd, yl)
+                streams.append((zb, yb))
+
+        z_idx = np.broadcast_to(np.arange(z_c, dtype=np.int32), (z_h, z_w, z_c)).ravel()
+        # hyper params frame-parallel from decoded z
+        z_hat = np.empty((n_frames, z_h, z_w, z_c), np.float32)
+        for t, (zb, _) in enumerate(streams):
+            z_sym = self._dec.decode_with_indexes(
+                zb, z_idx, eb.cdfs, eb.cdf_lengths, eb.offsets
+            ).reshape(z_h, z_w, z_c)
+            z_hat[t] = z_sym.astype(np.float32) + eb_medians[None, None, :]
+
+        hyper = self._jit.setdefault(
+            ("hyp", (y_h, y_w, z_hat.shape)),
+            jax.jit(
+                lambda p, zz: self.model.apply(
+                    {"params": p}, zz, (y_h, y_w),
+                    method=lambda m, z_, hw: m.base.h_s(z_, hw),
+                )
+            ),
+        )
+        sh, mh = hyper(self.params, jnp.asarray(z_hat))
+        sh = np.asarray(sh, np.float32)
+        mh = np.asarray(mh, np.float32)
+
+        predict = self._predict_fn((y_h, y_w, y_c))
+        y_hat_all = np.empty((n_frames, y_h, y_w, y_c), np.float32)
+        y_prev = np.zeros((1, y_h, y_w, y_c), np.float32)
+        for t, (_, yb) in enumerate(streams):
+            is_intra = (t % intra_period) == 0
+            scales, means = predict(
+                self.params, jnp.asarray(y_prev),
+                jnp.asarray(sh[t : t + 1]), jnp.asarray(mh[t : t + 1]), is_intra,
+            )
+            scales = np.asarray(scales, np.float32)
+            means = np.asarray(means, np.float32)
+            y_idx = GaussianConditional.build_indexes(scales)
+            y_sym = self._dec.decode_with_indexes(
+                yb, y_idx.ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
+            ).reshape(1, y_h, y_w, y_c)
+            y_prev = y_sym.astype(np.float32) + means
+            y_hat_all[t] = y_prev[0]
+
+        shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
+        synthesis = self._synthesis_fn(shapes_hw, n_frames)
+        recon = synthesis(self.params, jnp.asarray(y_hat_all))
+        return {
+            "data": {
+                name: jnp.asarray(np.transpose(np.asarray(r, np.float32), (0, 3, 1, 2)))
+                for name, r in zip(names, recon)
+            }
+        }
+
+    @property
+    def qp_value(self):
+        return self.qp
+
+    @property
+    def eval_encode_type(self):
+        return self.eval_encode

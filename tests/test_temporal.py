@@ -1,0 +1,159 @@
+"""Temporal L-MSFC: conditional latent coding across frames."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmsfc_tpu.codecs.learned_temporal import LMSFCTemporalCodec
+from lmsfc_tpu.models.lmsfc_temporal import LMSFCv2Temporal
+from lmsfc_tpu.training import rd_loss
+
+
+def _clip(t=4, base=16, channels=(8, 8), motion=0.0, seed=0):
+    """[T,H,W,C] levels; motion=0 -> static clip."""
+    rng = np.random.default_rng(seed)
+    feats = []
+    h = w = base
+    for c in channels:
+        f0 = rng.normal(0, 2, (h, w, c)).astype(np.float32)
+        frames = [np.roll(f0, int(round(i * motion)), axis=1) for i in range(t)]
+        feats.append(jnp.asarray(np.stack(frames)))
+        h, w = h // 2, w // 2
+    return feats
+
+
+def _model(channels=(8, 8), intra_period=4):
+    return LMSFCv2Temporal(
+        out_channels=channels, num_filters=16, latent_filters=16, hyper_filters=8,
+        intra_period=intra_period, dtype=jnp.float32,
+    )
+
+
+class TestTemporalModel:
+    def test_forward_shapes(self):
+        model = _model()
+        feats = _clip()
+        params = model.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, feats
+        )
+        out = model.apply(params, feats, training=False)
+        for rec, f in zip(out["features_hat"], feats):
+            assert rec.shape == f.shape
+        assert out["likelihoods"]["y"].shape[0] == 4
+
+    def test_zero_init_predictor_matches_intra(self):
+        """Untrained predictor is zero-initialized: inter frames' params equal
+        the pure-hyper (intra) params, so likelihoods match across a static
+        clip's frames coded from identical content."""
+        model = _model(intra_period=1)  # all intra
+        feats = _clip(motion=0.0)
+        params = model.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, feats
+        )
+        out_intra = model.apply(params, feats, training=False)
+        model2 = _model(intra_period=4)  # frames 1..3 inter
+        out_inter = model2.apply(params, feats, training=False)
+        np.testing.assert_allclose(
+            np.asarray(out_intra["likelihoods"]["y"]),
+            np.asarray(out_inter["likelihoods"]["y"]),
+            rtol=1e-5,
+        )
+
+    def test_training_decreases_loss(self):
+        import optax
+
+        model = _model()
+        feats = _clip(motion=1.0, seed=3)
+        variables = model.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, feats
+        )
+        params = variables["params"]
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rng):
+            def loss_fn(p):
+                out = model.apply({"params": p}, feats, training=True, rngs={"noise": rng})
+                l = rd_loss(out, feats, lmbda=0.05)
+                aux = model.apply({"params": p}, method=LMSFCv2Temporal.aux_loss)
+                return l["loss"] + aux, l
+
+            (_, l), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
+
+        losses = []
+        key = jax.random.key(0)
+        for _ in range(15):
+            key, sub = jax.random.split(key)
+            params, opt_state, l = step(params, opt_state, sub)
+            losses.append(float(l["loss"]))
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+class TestTemporalCodec:
+    def test_roundtrip(self, tmp_path):
+        codec = LMSFCTemporalCodec(
+            num_filters=16, latent_filters=16, hyper_filters=8,
+            out_channels=(8, 8), intra_period=4, dtype="float32",
+        )
+        rng = np.random.default_rng(1)
+        data = {
+            "p2": jnp.asarray(rng.normal(0, 2, (6, 8, 16, 16)).astype(np.float32)),
+            "p3": jnp.asarray(rng.normal(0, 2, (6, 8, 8, 8)).astype(np.float32)),
+        }
+        out = codec.encode({"data": data}, tmp_path, "t")
+        assert len(out["bytes"]) == 6
+        dec = codec.decode(out["bitstream"])
+        for k in data:
+            assert dec["data"][k].shape == data[k].shape
+        dec2 = codec.decode(out["bitstream"])
+        for k in data:
+            assert np.array_equal(np.asarray(dec["data"][k]), np.asarray(dec2["data"][k]))
+
+    def test_trained_predictor_saves_bits_on_static_content(self, tmp_path):
+        """After brief training on static clips, inter frames must cost less
+        than intra frames on a static sequence."""
+        import optax
+
+        model = _model(channels=(8,), intra_period=4)
+        model = LMSFCv2Temporal(
+            out_channels=(8,), num_filters=16, latent_filters=16, hyper_filters=8,
+            intra_period=4, dtype=jnp.float32,
+        )
+        feats = [_clip(t=4, base=16, channels=(8,), motion=0.0, seed=5)[0]]
+        variables = model.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, feats
+        )
+        params = variables["params"]
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rng):
+            def loss_fn(p):
+                out = model.apply({"params": p}, feats, training=True, rngs={"noise": rng})
+                l = rd_loss(out, feats, lmbda=0.05)
+                aux = model.apply({"params": p}, method=LMSFCv2Temporal.aux_loss)
+                return l["loss"] + aux, l
+
+            (_, l), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
+
+        key = jax.random.key(0)
+        for _ in range(60):
+            key, sub = jax.random.split(key)
+            params, opt_state, _ = step(params, opt_state, sub)
+
+        codec = LMSFCTemporalCodec(
+            num_filters=16, latent_filters=16, hyper_filters=8,
+            out_channels=(8,), intra_period=4, dtype="float32", params=params,
+        )
+        data = {"p2": jnp.transpose(feats[0], (0, 3, 1, 2))}
+        out = codec.encode({"data": data}, tmp_path, "s")
+        sizes = out["bytes"]
+        intra, inters = sizes[0], sizes[1:]
+        assert max(inters) < intra, (intra, inters)

@@ -76,6 +76,7 @@ def make_train_step(
     finest_stride: int = 4,
     proxy_fn: Optional[Callable] = None,
     proxy_weight: float = 0.0,
+    shard_spatial: bool = False,
 ) -> Callable:
     """Returns jitted (state, features, rng) -> (state, metrics).
 
@@ -113,7 +114,9 @@ def make_train_step(
         return jax.jit(step, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
-    batch_sharding = NamedSharding(mesh, P("dp"))
+    # batch on dp; optionally also shard the height axis on tp (spatial /
+    # sequence-parallel analog — GSPMD inserts conv halo exchanges)
+    batch_sharding = NamedSharding(mesh, P("dp", "tp") if shard_spatial else P("dp"))
     # shardings per-argument: state replicated, features dp-sharded, rng replicated
     return jax.jit(
         step,

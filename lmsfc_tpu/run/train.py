@@ -37,18 +37,35 @@ def train_rate_point(
 ) -> dict:
     t = conf.training
     channels = tuple(t.get("channels", (256, 256, 256, 256)))
-    model = LMSFCv2(
+    dtype = jnp.bfloat16 if t.get("dtype", "bfloat16") == "bfloat16" else jnp.float32
+    temporal = bool(t.get("temporal", False))
+    common = dict(
         out_channels=channels,
         num_filters=t.get("num_filters", 192),
         latent_filters=t.get("latent_filters", 192),
         hyper_filters=t.get("hyper_filters", 128),
-        dtype=jnp.bfloat16 if t.get("dtype", "bfloat16") == "bfloat16" else jnp.float32,
+        dtype=dtype,
     )
+    if temporal:
+        from ..models.lmsfc_temporal import LMSFCv2Temporal
+
+        model = LMSFCv2Temporal(
+            intra_period=t.get("intra_period", 8), **common
+        )
+    else:
+        model = LMSFCv2(remat=t.get("remat", False), **common)
     batch = t.get("batch", 8)
     base_hw = tuple(t.get("base_hw", (64, 64)))
 
     dump_dir = t.get("feature_dump_dir")
-    if dump_dir:
+    if temporal:
+        from ..training.data import SyntheticClipSource
+
+        source = SyntheticClipSource(
+            clip_len=t.get("clip_len", batch), base_hw=base_hw,
+            channels=channels, seed=t.get("seed", 0),
+        )
+    elif dump_dir:
         source = FeatureDumpSource(Path(dump_dir), batch, base_hw, seed=t.get("seed", 0))
     else:
         source = SyntheticSource(batch, base_hw, channels, seed=t.get("seed", 0))
@@ -72,7 +89,7 @@ def train_rate_point(
         start_step = int(mgr.latest_step)
         print(f"resumed from step {start_step}")
 
-    step_fn = make_train_step(model, lmbda=lmbda, mesh=mesh)
+    step_fn = make_train_step(model, lmbda=lmbda, mesh=None if temporal else mesh)
     steps = t.get("steps", 100)
     log_every = t.get("log_every", 50)
     ckpt_every = t.get("ckpt_every", 500)

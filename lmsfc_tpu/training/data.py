@@ -108,3 +108,46 @@ class FeatureDumpSource:
             ch, cw = -(-ch // 2), -(-cw // 2)
             cy, cx = cy // 2, cx // 2
         return out
+
+
+class SyntheticClipSource:
+    """Synthetic temporally-correlated clips for the temporal codec:
+    [T,H,W,C] levels per sample (translation motion + small innovation)."""
+
+    def __init__(
+        self,
+        clip_len: int = 8,
+        base_hw: Tuple[int, int] = (64, 64),
+        channels: Sequence[int] = (256, 256, 256, 256),
+        motion_px: float = 1.0,
+        innovation: float = 0.1,
+        value_range: Tuple[float, float] = (-17.8848, 16.69417),
+        seed: int = 0,
+    ):
+        self.clip_len = clip_len
+        self.base_hw = base_hw
+        self.channels = tuple(channels)
+        self.motion_px = motion_px
+        self.innovation = innovation
+        lo, hi = value_range
+        self.mean = (hi + lo) / 2
+        self.std = (hi - lo) / 8
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[List[np.ndarray]]:
+        while True:
+            feats = []
+            h, w = self.base_hw
+            shift = self.motion_px
+            for c in self.channels:
+                f0 = self.rng.normal(self.mean, self.std, (h, w, c)).astype(np.float32)
+                frames = [f0]
+                for _ in range(self.clip_len - 1):
+                    prev = frames[-1]
+                    moved = np.roll(prev, max(1, int(round(shift))), axis=1)
+                    noise = self.rng.normal(0, self.std * self.innovation, prev.shape)
+                    frames.append((moved + noise).astype(np.float32))
+                feats.append(np.stack(frames))
+                h, w = -(-h // 2), -(-w // 2)
+                shift = shift / 2
+            yield feats

@@ -93,7 +93,7 @@ def make_train_step(
                 {"params": params}, list(features), training=True, rngs={"noise": rng}
             )
             losses = rd_loss(out, list(features), lmbda, finest_stride=finest_stride)
-            aux = model.apply({"params": params}, method=LMSFCv2.aux_loss)
+            aux = model.apply({"params": params}, method=type(model).aux_loss)
             total = losses["loss"] + aux
             metrics = {**losses, "aux": aux}
             if proxy_fn is not None and proxy_weight > 0:

@@ -290,23 +290,27 @@ class LMSFCCodec:
             write_uints(fd, (z.shape[1], z.shape[2], z.shape[3]))
             header_bytes = fd.tell()
 
-            for f_idx in range(n_frames):
+            # frames are independent: fan the rANS coding over a thread
+            # pool (the C coder releases the GIL; mirrors the reference's
+            # GOP-parallel anchor encoding, std_codecs.py:204-255)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _code_frame(f_idx):
                 z_bytes = self._enc.encode_with_indexes(
-                    z_sym[f_idx].ravel(),
-                    z_idx.ravel(),
-                    eb_table.cdfs,
-                    eb_table.cdf_lengths,
-                    eb_table.offsets,
+                    z_sym[f_idx].ravel(), z_idx.ravel(),
+                    eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets,
                 )
                 y_sym = np.round(y_np[f_idx] - means_np[f_idx]).astype(np.int32)
                 y_idx = GaussianConditional.build_indexes(scales_np[f_idx])
                 y_bytes = self._enc.encode_with_indexes(
-                    y_sym.ravel(),
-                    y_idx.ravel(),
-                    gc_table.cdfs,
-                    gc_table.cdf_lengths,
-                    gc_table.offsets,
+                    y_sym.ravel(), y_idx.ravel(),
+                    gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
                 )
+                return z_bytes, y_bytes
+
+            with ThreadPoolExecutor() as pool:
+                coded = list(pool.map(_code_frame, range(n_frames)))
+            for z_bytes, y_bytes in coded:
                 write_uints(fd, (len(z_bytes),))
                 write_bytes(fd, z_bytes)
                 write_uints(fd, (len(y_bytes),))
@@ -361,23 +365,33 @@ class LMSFCCodec:
                 (y_len,) = read_uints(fd, 1)
                 y_streams.append(read_bytes(fd, y_len))
 
+        from concurrent.futures import ThreadPoolExecutor
+
         z_hat_all = np.empty((n_frames, z_h, z_w, z_c), np.float32)
-        for i, zb in enumerate(z_streams):
+
+        def _dec_z(i):
             z_sym = self._dec.decode_with_indexes(
-                zb, z_idx, eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets
+                z_streams[i], z_idx, eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets
             ).reshape(z_h, z_w, z_c)
             z_hat_all[i] = z_sym.astype(np.float32) + self._eb_medians[None, None, :]
+
+        with ThreadPoolExecutor() as pool:
+            list(pool.map(_dec_z, range(n_frames)))
 
         scales_np, means_np = self._chunked_gaussian_params(
             hyper_syn, z_hat_all, n_frames
         )
         y_hat_all = np.empty((n_frames, y_h, y_w, y_c), np.float32)
-        for i, yb in enumerate(y_streams):
+
+        def _dec_y(i):
             y_idx = GaussianConditional.build_indexes(scales_np[i]).ravel()
             y_sym = self._dec.decode_with_indexes(
-                yb, y_idx, gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets
+                y_streams[i], y_idx, gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets
             ).reshape(y_h, y_w, y_c)
             y_hat_all[i] = y_sym.astype(np.float32) + means_np[i]
+
+        with ThreadPoolExecutor() as pool:
+            list(pool.map(_dec_y, range(n_frames)))
         chunk = max(1, self.chunk_frames)
         recon_parts: List[List[np.ndarray]] = []
         for s, cnt in self._chunk_iter(n_frames):

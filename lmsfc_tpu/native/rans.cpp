@@ -197,6 +197,23 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
   std::memcpy(buf.data(), data, static_cast<size_t>(nbytes));
   uint32_t* ptr = buf.data();
 
+  // For large payloads, replace the per-symbol binary search with a direct
+  // cum->symbol lookup table (n_cdfs x 2^16 int16): O(1) per symbol. The
+  // build cost is ~n_cdfs * 2^16 writes, amortized over big frames.
+  std::vector<int16_t> lut;
+  const bool use_lut = n >= static_cast<int64_t>(n_cdfs) * 4096;
+  if (use_lut) {
+    lut.resize(static_cast<size_t>(n_cdfs) << kPrecision);
+    for (int32_t c = 0; c < n_cdfs; ++c) {
+      const int32_t* cdf = cdfs + static_cast<int64_t>(c) * cdf_stride;
+      const int32_t n_sym = cdf_lengths[c] - 1;  // symbols 0..n_sym-1
+      int16_t* row = lut.data() + (static_cast<size_t>(c) << kPrecision);
+      for (int32_t s = 0; s < n_sym; ++s) {
+        for (int32_t v = cdf[s]; v < cdf[s + 1]; ++v) row[v] = static_cast<int16_t>(s);
+      }
+    }
+  }
+
   Rans64State rans;
   Rans64DecInit(&rans, &ptr);
 
@@ -209,14 +226,19 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
 
     const uint32_t cum = Rans64DecGet(&rans, kPrecision);
 
-    // find s with cdf[s] <= cum < cdf[s+1]
-    int32_t lo = 0, hi = max_value;  // symbols 0..max_value inclusive
-    while (lo < hi) {
-      const int32_t mid = (lo + hi + 1) >> 1;
-      if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid;
-      else hi = mid - 1;
+    int32_t value;
+    if (use_lut) {
+      value = lut[(static_cast<size_t>(idx) << kPrecision) | cum];
+    } else {
+      // find s with cdf[s] <= cum < cdf[s+1]
+      int32_t lo = 0, hi = max_value;  // symbols 0..max_value inclusive
+      while (lo < hi) {
+        const int32_t mid = (lo + hi + 1) >> 1;
+        if (static_cast<uint32_t>(cdf[mid]) <= cum) lo = mid;
+        else hi = mid - 1;
+      }
+      value = lo;
     }
-    int32_t value = lo;
 
     Rans64DecAdvance(&rans, &ptr, static_cast<uint32_t>(cdf[value]),
                      static_cast<uint32_t>(cdf[value + 1] - cdf[value]),

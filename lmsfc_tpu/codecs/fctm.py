@@ -8,7 +8,6 @@ through the codec settings (ref cfgs/codec/fctm.yaml:1-55).
 
 from __future__ import annotations
 
-from typing import Any, Dict
 
 from ..registry import register_codec
 

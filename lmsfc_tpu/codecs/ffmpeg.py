@@ -10,7 +10,7 @@ these classes build the commandlines and defer to the subprocess runner.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Sequence
+from typing import List
 
 from ..registry import register_codec
 from .std_codecs import VTM

@@ -19,7 +19,6 @@ Registered as codec "lmsfc" with the standard encode/decode contract
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -28,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..entropy.entropy_bottleneck import build_eb_cdf_table
-from ..entropy.gaussian_conditional import GaussianConditional, SCALES_TABLE
+from ..entropy.gaussian_conditional import GaussianConditional
 from ..models.lmsfc import LMSFCv2
 from ..native import RansDecoder, RansEncoder
 from ..registry import register_codec

@@ -13,9 +13,7 @@ plus, for tracking, the JDE letterbox mapper output (1088x608 RGB float /255
 
 from __future__ import annotations
 
-import json
-from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import cv2
 import numpy as np

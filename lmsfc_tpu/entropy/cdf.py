@@ -12,7 +12,7 @@ resulting tables drive `encode_with_indexes`/`decode_with_indexes` in
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -19,12 +19,11 @@ plus a 512-d embedding map -> 54264 proposals at 1088x608
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # JDE 1088x608 anchor set (w,h) per stride, 4 anchors each
 JDE_ANCHORS = {

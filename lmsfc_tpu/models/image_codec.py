@@ -13,7 +13,7 @@ Layout NHWC, input float in [0,1], 4x stride-2 analysis (1/16 latent).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ keeping beta/gamma positive while remaining smoothly trainable.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ predictor's accuracy, so -log2 p(y_t | y_{t-1}) << -log2 p(y_t).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax

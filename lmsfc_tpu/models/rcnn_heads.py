@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.boxes import batched_nms_fixed, clip_boxes, decode_boxes, nms_fixed
-from ..ops.roi_align import assign_levels, roi_align_pyramid
+from ..ops.boxes import batched_nms_fixed, clip_boxes, decode_boxes
 
 ANCHOR_SIZES = (32, 64, 128, 256, 512)  # p2..p6
 ANCHOR_RATIOS = (0.5, 1.0, 2.0)

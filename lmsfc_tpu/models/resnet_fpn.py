@@ -14,7 +14,7 @@ mechanical weight converter in models/wrappers/torch_weights.py.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

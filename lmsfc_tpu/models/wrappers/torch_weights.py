@@ -12,7 +12,6 @@ Conv kernels: torch OIHW -> flax HWIO. Dense: torch [out,in] -> flax [in,out].
 from __future__ import annotations
 
 import pickle
-from pathlib import Path
 from typing import Dict, Tuple
 
 import numpy as np

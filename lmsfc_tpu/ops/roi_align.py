@@ -9,7 +9,7 @@ throughout — R rois x (pool*2)^2 sample points.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ head's expected names).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 from ..registry import register_pipeline
 from .base import BasePipeline, Parts

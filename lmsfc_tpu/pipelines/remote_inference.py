@@ -8,7 +8,7 @@ reconstruction — no feature tensors cross the codec.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Dict, List
 
 import numpy as np
 

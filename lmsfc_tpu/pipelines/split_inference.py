@@ -15,13 +15,11 @@ performance) (ref pipelines/base.py:59).
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any, Dict, List
 
 import numpy as np
 
 from ..registry import register_pipeline
-from ..utils.misc import time_measure
 from .base import BasePipeline, Parts
 
 

@@ -19,7 +19,6 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import Config, load_config
 from ..models import LMSFCv2

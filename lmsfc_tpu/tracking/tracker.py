@@ -10,7 +10,7 @@ of 30 frames scaled by fps/30 (ref jde.py:81-83); per-sequence reset
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

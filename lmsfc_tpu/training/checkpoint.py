@@ -7,7 +7,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

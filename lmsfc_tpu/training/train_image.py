@@ -14,7 +14,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .rd import rd_image_loss
-from .train import TrainState, create_train_state as _create_feature_state
+from .train import TrainState
 
 
 def create_image_train_state(

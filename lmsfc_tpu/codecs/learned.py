@@ -41,7 +41,7 @@ from ..utils.readwrite import (
 )
 
 _MAGIC = b"LMF2"
-_VERSION = 2
+_VERSION = 3
 
 
 @register_codec("lmsfc")
@@ -56,6 +56,7 @@ class LMSFCCodec:
         latent_filters: int = 192,
         hyper_filters: int = 128,
         out_channels: Sequence[int] = (256, 256, 256, 256),
+        num_rates: int = 0,
         checkpoint_dir: Optional[str] = None,
         params: Optional[Dict] = None,
         seed: int = 0,
@@ -72,13 +73,17 @@ class LMSFCCodec:
         self.qp = qp
         self.eval_encode = eval_encode
         self.out_channels = tuple(out_channels)
+        self.num_rates = int(num_rates)
         self.model = LMSFCv2(
             out_channels=self.out_channels,
             num_filters=num_filters,
             latent_filters=latent_filters,
             hyper_filters=hyper_filters,
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+            num_rates=self.num_rates,
         )
+        # gain-unit models: qp selects the rate point within ONE checkpoint
+        self.rate_idx = max(0, (qp or 1) - 1) if self.num_rates else 0
         self._params = params
         self._checkpoint_dir = checkpoint_dir
         self._seed = seed
@@ -148,9 +153,12 @@ class LMSFCCodec:
         key = ("analysis", shapes)
         if key not in self._jit_cache:
 
+            rate_idx = self.rate_idx
+
             def fn(params, features):
                 return self.model.apply(
-                    {"params": params}, list(features), method=LMSFCv2.analysis
+                    {"params": params}, list(features), rate_idx,
+                    method=LMSFCv2.analysis,
                 )
 
             sh = self._shardings()
@@ -185,9 +193,12 @@ class LMSFCCodec:
         key = ("syn", shapes_hw)
         if key not in self._jit_cache:
 
+            rate_idx = self.rate_idx
+
             def fn(params, y_hat):
                 return self.model.apply(
-                    {"params": params}, y_hat, shapes_hw, method=LMSFCv2.synthesis
+                    {"params": params}, y_hat, shapes_hw, rate_idx,
+                    method=LMSFCv2.synthesis,
                 )
 
             sh = self._shardings()
@@ -278,7 +289,9 @@ class LMSFCCodec:
         byte_sizes: List[int] = []
         with open(path, "wb") as fd:
             fd.write(_MAGIC)
-            write_uchars(fd, (_VERSION, len(names), min(self.chunk_frames, 255)))
+            write_uchars(
+                fd, (_VERSION, len(names), min(self.chunk_frames, 255), self.rate_idx)
+            )
             write_uints(fd, (n_frames,))
             for name, (c, h, w) in zip(names, level_shapes):
                 nb = name.encode("ascii")
@@ -336,11 +349,14 @@ class LMSFCCodec:
         with open(path, "rb") as fd:
             magic = fd.read(4)
             assert magic == _MAGIC, f"bad magic {magic!r}"
-            version, n_levels, chunk_in_stream = read_uchars(fd, 3)
+            version, n_levels, chunk_in_stream, rate_idx = read_uchars(fd, 4)
             assert version == _VERSION
             (n_frames,) = read_uints(fd, 1)
             # the gaussian-param program must match the encoder's chunking
             self.chunk_frames = int(chunk_in_stream)
+            if self.num_rates and int(rate_idx) != self.rate_idx:
+                self.rate_idx = int(rate_idx)
+                self._jit_cache.clear()  # synthesis closure baked the old idx
             names, level_shapes = [], []
             for _ in range(n_levels):
                 (name_len,) = read_uchars(fd, 1)

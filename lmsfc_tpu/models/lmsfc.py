@@ -132,6 +132,14 @@ class LMSFCv2(nn.Module):
     """Full codec: forward pass returns reconstructions + likelihoods.
 
     Input/output feature layout is NHWC lists ordered finest -> coarsest.
+
+    num_rates > 0 enables GAIN UNITS (asymmetric gained VAE, Cui et al.):
+    per-rate learned channel-wise gain/inverse-gain vectors scale the latent
+    before/after quantization, so ONE model serves all rate points (the
+    reference trains a separate model per lambda, SURVEY.md §2.9
+    'multi-rate-point training' — this halves the training bill). rate_idx
+    selects the operating point; it can be a traced scalar during training
+    (sampled per step) and rides the bitstream header at coding time.
     """
 
     out_channels: Sequence[int] = (256, 256, 256, 256)
@@ -140,6 +148,7 @@ class LMSFCv2(nn.Module):
     hyper_filters: int = 128
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # rematerialize transforms (trade FLOPs for HBM)
+    num_rates: int = 0  # 0 = single-rate (no gain units)
 
     def setup(self):
         fenet_cls = nn.remat(FENet) if self.remat else FENet
@@ -151,11 +160,25 @@ class LMSFCv2(nn.Module):
         self.drnet = drnet_cls(self.out_channels, self.num_filters, self.dtype)
         self.entropy_bottleneck = EntropyBottleneck(channels=self.hyper_filters)
         self.gaussian = GaussianConditional()
+        if self.num_rates > 0:
+            ones = lambda key, shape: jnp.ones(shape, jnp.float32)
+            self.gains = self.param("gains", ones, (self.num_rates, self.latent_filters))
+            self.inv_gains = self.param(
+                "inv_gains", ones, (self.num_rates, self.latent_filters)
+            )
+
+    def _gain(self, rate_idx) -> jax.Array:
+        return jnp.abs(self.gains[rate_idx])[None, None, None, :]
+
+    def _inv_gain(self, rate_idx) -> jax.Array:
+        return jnp.abs(self.inv_gains[rate_idx])[None, None, None, :]
 
     def __call__(
-        self, features: Sequence[jax.Array], training: bool = True
+        self, features: Sequence[jax.Array], training: bool = True, rate_idx=0
     ) -> Dict[str, object]:
         y = self.fenet(features)
+        if self.num_rates > 0:
+            y = y * self._gain(rate_idx)
         z = self.h_a(y)
 
         if training:
@@ -168,6 +191,8 @@ class LMSFCv2(nn.Module):
         y_hat, y_likelihoods = self.gaussian(
             y, scales, means, training=training, rng=rng_y
         )
+        if self.num_rates > 0:
+            y_hat = y_hat * self._inv_gain(rate_idx)
         shapes_hw = [f.shape[1:3] for f in features]
         recon = self.drnet(y_hat, shapes_hw)
         return {
@@ -181,15 +206,20 @@ class LMSFCv2(nn.Module):
         return self.entropy_bottleneck.aux_loss()
 
     # ---------------------------------------------------------------- codec
-    def analysis(self, features: Sequence[jax.Array]):
+    def analysis(self, features: Sequence[jax.Array], rate_idx=0):
         """Deterministic encode-side compute: y, z, z_hat, gaussian params."""
         y = self.fenet(features)
+        if self.num_rates > 0:
+            y = y * self._gain(rate_idx)
         z = self.h_a(y)
         z_hat, _ = self.entropy_bottleneck(z, training=False)
         scales, means = self.h_s(z_hat, y.shape[1:3])
         return y, z, scales, means
 
-    def synthesis(self, y_hat: jax.Array, shapes_hw: Sequence[Tuple[int, int]]):
+    def synthesis(self, y_hat: jax.Array, shapes_hw: Sequence[Tuple[int, int]],
+                  rate_idx=0):
+        if self.num_rates > 0:
+            y_hat = y_hat * self._inv_gain(rate_idx)
         return self.drnet(y_hat, shapes_hw)
 
     def hyper_synthesis(self, z_hat: jax.Array, y_hw: Tuple[int, int]):

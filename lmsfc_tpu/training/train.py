@@ -75,6 +75,7 @@ def make_train_step(
     proxy_fn: Optional[Callable] = None,
     proxy_weight: float = 0.0,
     shard_spatial: bool = False,
+    lmbdas: Optional[Sequence[float]] = None,
 ) -> Callable:
     """Returns jitted (state, features, rng) -> (state, metrics).
 
@@ -83,10 +84,30 @@ def make_train_step(
     RPN maps from FasterRCNNFPN.proxy_fn()) adding a task-proxy distortion
     term — the TPU realization of the reference's
     `deeper_features_for_accuracy_proxy` hook (base_wrapper.py:55-59).
+    lmbdas (optional, gain-unit models): one lambda per rate point; each
+    step samples a rate index and trains that operating point.
     """
+    multi_rate = lmbdas is not None and getattr(model, "num_rates", 0) > 0
+    if multi_rate:
+        assert len(lmbdas) == model.num_rates, (len(lmbdas), model.num_rates)
+        lmbda_arr = jnp.asarray(list(lmbdas), jnp.float32)
 
     def step(state: TrainState, features, rng):
         def loss_fn(params):
+            if multi_rate:
+                rng_rate, rng_noise = jax.random.split(rng)
+                rate_idx = jax.random.randint(rng_rate, (), 0, model.num_rates)
+                out = model.apply(
+                    {"params": params}, list(features), training=True,
+                    rate_idx=rate_idx, rngs={"noise": rng_noise},
+                )
+                losses = rd_loss(
+                    out, list(features), lmbda_arr[rate_idx],
+                    finest_stride=finest_stride,
+                )
+                losses["rate_idx"] = rate_idx
+                aux = model.apply({"params": params}, method=type(model).aux_loss)
+                return losses["loss"] + aux, {**losses, "aux": aux}
             out = model.apply(
                 {"params": params}, list(features), training=True, rngs={"noise": rng}
             )

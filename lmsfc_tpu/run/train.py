@@ -52,7 +52,11 @@ def train_rate_point(
             intra_period=t.get("intra_period", 8), **common
         )
     else:
-        model = LMSFCv2(remat=t.get("remat", False), **common)
+        model = LMSFCv2(
+            remat=t.get("remat", False),
+            num_rates=t.get("num_rates", 0),
+            **common,
+        )
     batch = t.get("batch", 8)
     base_hw = tuple(t.get("base_hw", (64, 64)))
 
@@ -88,7 +92,11 @@ def train_rate_point(
         start_step = int(mgr.latest_step)
         print(f"resumed from step {start_step}")
 
-    step_fn = make_train_step(model, lmbda=lmbda, mesh=None if temporal else mesh)
+    lmbdas_joint = t.get("lmbdas") if t.get("num_rates", 0) else None
+    step_fn = make_train_step(
+        model, lmbda=lmbda, mesh=None if temporal else mesh,
+        lmbdas=list(lmbdas_joint) if lmbdas_joint else None,
+    )
     steps = t.get("steps", 100)
     log_every = t.get("log_every", 50)
     ckpt_every = t.get("ckpt_every", 500)
@@ -134,6 +142,10 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     results = {}
     root = Path(t.get("ckpt_root", "./checkpoints"))
+    if t.get("num_rates", 0):
+        # gain-unit mode: ONE joint training run covers every rate point
+        results["joint"] = train_rate_point(conf, lmbdas[0], root / "joint", mesh)
+        lmbdas = []
     for i, lmbda in enumerate(lmbdas):
         ckpt_dir = root / f"q{i+1}_lmbda{lmbda}"
         results[str(lmbda)] = train_rate_point(conf, lmbda, ckpt_dir, mesh)

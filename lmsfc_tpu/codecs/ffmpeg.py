@@ -18,6 +18,9 @@ from .std_codecs import VTM
 
 @register_codec("x264")
 class X264(VTM):
+    # ref codecs/ffmpeg.py:142-157 declares yuv444p10le for the feature path
+    feature_yuv_format = "yuv444_10le"
+
     def __init__(self, ffmpeg_path: str = "ffmpeg", crf: int = 28, preset: str = "medium",
                  tune: str = "psnr", threads: int = 4, **kwargs):
         kwargs.setdefault("qp", crf)
@@ -28,30 +31,38 @@ class X264(VTM):
         self.tune = tune
         self.threads = threads
         self.parallel_encoding = False  # ffmpeg threads internally (ref :144-145)
-        self.vcodec = "libx264"
+        self.vcodec = "h264"
 
     def get_encode_cmd(self, yuv: Path, out_bin: Path, w: int, h: int,
-                       n_frames: int, intra_period: int) -> List[str]:
-        return [
-            self.ffmpeg_path, "-y", "-hide_banner",
-            "-f", "rawvideo", "-pix_fmt", "gray10le",
-            "-s", f"{w}x{h}", "-r", str(self.frame_rate),
+                       n_frames: int, intra_period: int,
+                       chroma_format: str = "444") -> List[List[str]]:
+        """ffmpeg CRF cmdline matching ref codecs/ffmpeg.py:114-147 (-bf 0,
+        yuv444p10le, -threads 4); input raw format declared explicitly so
+        the pipe is unambiguous (the reference relies on ffmpeg defaults)."""
+        frm_rate = self.frame_rate if n_frames > 1 else 1
+        return [[
+            self.ffmpeg_path, "-y",
+            "-f", "rawvideo", "-pix_fmt", "yuv444p10le",
+            "-s:v", f"{w}x{h}",
+            "-framerate", str(frm_rate),
             "-i", str(yuv),
             "-c:v", self.vcodec,
             "-crf", str(self.crf),
             "-preset", self.preset,
+            "-bf", "0",
             "-tune", self.tune,
-            "-g", str(intra_period),
+            "-pix_fmt", "yuv444p10le",
             "-threads", str(self.threads),
-            "-f", "mpegts", str(out_bin),
-        ]
+            str(out_bin),
+        ]]
 
     def get_decode_cmd(self, bin_path: Path, yuv_out: Path) -> List[str]:
+        # ref codecs/ffmpeg.py:149-160
         return [
-            self.ffmpeg_path, "-y", "-hide_banner",
+            self.ffmpeg_path, "-y",
             "-i", str(bin_path),
-            "-f", "rawvideo", "-pix_fmt", "gray10le",
-            str(yuv_out),
+            "-pix_fmt", "yuv444p10le",
+            "-f", "rawvideo", str(yuv_out),
         ]
 
 
@@ -59,4 +70,27 @@ class X264(VTM):
 class X265(X264):
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
-        self.vcodec = "libx265"
+        self.vcodec = "hevc"
+
+    def get_encode_cmd(self, yuv: Path, out_bin: Path, w: int, h: int,
+                       n_frames: int, intra_period: int,
+                       chroma_format: str = "444") -> List[List[str]]:
+        """ref codecs/ffmpeg.py:330-363: hevc, bframes=0 via -x265-params,
+        output pix_fmt gray10le (sic — the reference writes 444 input but
+        declares gray output; flags reproduced as-is)."""
+        frm_rate = self.frame_rate if n_frames > 1 else 1
+        return [[
+            self.ffmpeg_path, "-y",
+            "-f", "rawvideo", "-pix_fmt", "yuv444p10le",
+            "-s:v", f"{w}x{h}",
+            "-framerate", str(frm_rate),
+            "-i", str(yuv),
+            "-c:v", self.vcodec,
+            "-crf", str(self.crf),
+            "-preset", self.preset,
+            "-x265-params", "bframes=0",
+            "-tune", self.tune,
+            "-pix_fmt", "gray10le",
+            "-threads", str(self.threads),
+            str(out_bin),
+        ]]

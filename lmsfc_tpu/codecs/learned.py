@@ -95,8 +95,12 @@ class LMSFCCodec:
         self._jit_cache: Dict = {}
         # fixed per-compile frame-chunk: one XLA program regardless of
         # sequence length (the video pipeline codes whole sequences at once,
-        # ref video_split_inference.py:265-286), memory bounded
+        # ref video_split_inference.py:265-286), memory bounded.
+        # The header stores it as a u8, so it must fit one byte — otherwise
+        # the decoder would re-chunk differently and desync the rANS stream.
         self.chunk_frames = int(chunk_frames)
+        if not 1 <= self.chunk_frames <= 255:
+            raise ValueError(f"chunk_frames must be in [1, 255], got {chunk_frames}")
         # optional dp mesh: shard the frame axis of analysis/synthesis —
         # frames are independent (intra coding), so eval scales linearly
         self.mesh = mesh
@@ -149,11 +153,9 @@ class LMSFCCodec:
         dp = NamedSharding(self.mesh, P("dp"))
         return {"repl": repl, "dp": dp}
 
-    def _analysis_fn(self, shapes: Tuple):
-        key = ("analysis", shapes)
+    def _analysis_fn(self, shapes: Tuple, rate_idx: int):
+        key = ("analysis", shapes, rate_idx)
         if key not in self._jit_cache:
-
-            rate_idx = self.rate_idx
 
             def fn(params, features):
                 return self.model.apply(
@@ -170,9 +172,10 @@ class LMSFCCodec:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def _chunk_iter(self, n_frames: int):
+    @staticmethod
+    def _chunk_iter(n_frames: int, chunk: int):
         """Yield (start, count) over fixed-size frame chunks."""
-        c = max(1, self.chunk_frames)
+        c = max(1, chunk)
         for s in range(0, n_frames, c):
             yield s, min(c, n_frames - s)
 
@@ -189,11 +192,9 @@ class LMSFCCodec:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def _synthesis_fn(self, shapes_hw: Tuple[Tuple[int, int], ...]):
-        key = ("syn", shapes_hw)
+    def _synthesis_fn(self, shapes_hw: Tuple[Tuple[int, int], ...], rate_idx: int):
+        key = ("syn", shapes_hw, rate_idx)
         if key not in self._jit_cache:
-
-            rate_idx = self.rate_idx
 
             def fn(params, y_hat):
                 return self.model.apply(
@@ -210,12 +211,12 @@ class LMSFCCodec:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def _chunked_gaussian_params(self, hyper_syn, z_hat_all, n_frames):
+    def _chunked_gaussian_params(self, hyper_syn, z_hat_all, n_frames, chunk):
         """Run hyper-synthesis in fixed-size chunks (tail edge-padded);
         identical on encoder and decoder => bit-identical scales/means."""
-        chunk = max(1, self.chunk_frames)
+        chunk = max(1, chunk)
         scales_parts, means_parts = [], []
-        for s, cnt in self._chunk_iter(n_frames):
+        for s, cnt in self._chunk_iter(n_frames, chunk):
             part = z_hat_all[s : s + cnt]
             if cnt < chunk:
                 part = np.concatenate(
@@ -247,10 +248,10 @@ class LMSFCCodec:
         # hits the same compiled program
         chunk = max(1, self.chunk_frames)
         analysis = self._analysis_fn(
-            tuple((chunk,) + tuple(f.shape[1:]) for f in feats)
+            tuple((chunk,) + tuple(f.shape[1:]) for f in feats), self.rate_idx
         )
         y_parts, z_parts = [], []
-        for s, cnt in self._chunk_iter(n_frames):
+        for s, cnt in self._chunk_iter(n_frames, chunk):
             part = [f[s : s + cnt] for f in feats]
             if cnt < chunk:
                 part = [
@@ -278,7 +279,7 @@ class LMSFCCodec:
         hyper_syn = self._hyper_synthesis_fn((y.shape[1], y.shape[2]))
         z_hat_all = z_sym.astype(np.float32) + self._eb_medians[None, None, None, :]
         scales_np, means_np = self._chunked_gaussian_params(
-            hyper_syn, z_hat_all, n_frames
+            hyper_syn, z_hat_all, n_frames, chunk
         )
 
         out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
@@ -290,7 +291,7 @@ class LMSFCCodec:
         with open(path, "wb") as fd:
             fd.write(_MAGIC)
             write_uchars(
-                fd, (_VERSION, len(names), min(self.chunk_frames, 255), self.rate_idx)
+                fd, (_VERSION, len(names), self.chunk_frames, self.rate_idx)
             )
             write_uints(fd, (n_frames,))
             for name, (c, h, w) in zip(names, level_shapes):
@@ -352,11 +353,11 @@ class LMSFCCodec:
             version, n_levels, chunk_in_stream, rate_idx = read_uchars(fd, 4)
             assert version == _VERSION
             (n_frames,) = read_uints(fd, 1)
-            # the gaussian-param program must match the encoder's chunking
-            self.chunk_frames = int(chunk_in_stream)
-            if self.num_rates and int(rate_idx) != self.rate_idx:
-                self.rate_idx = int(rate_idx)
-                self._jit_cache.clear()  # synthesis closure baked the old idx
+            # the gaussian-param program must match the encoder's chunking;
+            # both ride in the header and stay LOCAL to this call — decoding
+            # a stream must not reconfigure the codec instance
+            chunk = max(1, int(chunk_in_stream))
+            rate_idx = int(rate_idx) if self.num_rates else 0
             names, level_shapes = [], []
             for _ in range(n_levels):
                 (name_len,) = read_uchars(fd, 1)
@@ -371,7 +372,7 @@ class LMSFCCodec:
             ).ravel()
             hyper_syn = self._hyper_synthesis_fn((y_h, y_w))
             shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
-            synthesis = self._synthesis_fn(shapes_hw)
+            synthesis = self._synthesis_fn(shapes_hw, rate_idx)
 
             z_streams, y_streams = [], []
             for _ in range(n_frames):
@@ -394,7 +395,7 @@ class LMSFCCodec:
             list(pool.map(_dec_z, range(n_frames)))
 
         scales_np, means_np = self._chunked_gaussian_params(
-            hyper_syn, z_hat_all, n_frames
+            hyper_syn, z_hat_all, n_frames, chunk
         )
         y_hat_all = np.empty((n_frames, y_h, y_w, y_c), np.float32)
 
@@ -407,9 +408,8 @@ class LMSFCCodec:
 
         with ThreadPoolExecutor() as pool:
             list(pool.map(_dec_y, range(n_frames)))
-        chunk = max(1, self.chunk_frames)
         recon_parts: List[List[np.ndarray]] = []
-        for s, cnt in self._chunk_iter(n_frames):
+        for s, cnt in self._chunk_iter(n_frames, chunk):
             part = y_hat_all[s : s + cnt]
             if cnt < chunk:
                 part = np.concatenate([part, np.repeat(part[-1:], chunk - cnt, axis=0)])

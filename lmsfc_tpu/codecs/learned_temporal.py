@@ -63,7 +63,11 @@ class LMSFCTemporalCodec:
         self.qp = qp
         self.eval_encode = eval_encode
         self.out_channels = tuple(out_channels)
+        # rides the header as a u8: must fit one byte or the decoder's GOP
+        # reset schedule diverges from the encoder's and rANS desyncs
         self.intra_period = int(intra_period)
+        if not 1 <= self.intra_period <= 255:
+            raise ValueError(f"intra_period must be in [1, 255], got {intra_period}")
         self.model = LMSFCv2Temporal(
             out_channels=self.out_channels,
             num_filters=num_filters,
@@ -131,6 +135,27 @@ class LMSFCTemporalCodec:
             self._jit[key] = fn
         return self._jit[key]
 
+    def _hyper_fn(self, y_hw):
+        """Standalone hyper-synthesis program shared by encode and decode.
+
+        The fused analysis_clip program also emits scales/means, but XLA may
+        fuse it differently from this standalone program; a 1-ulp drift at a
+        scale-table boundary would flip build_indexes and desync rANS. Both
+        sides therefore recompute gaussian params from quantized z through
+        THIS jit (same fix as LMSFCCodec._chunked_gaussian_params)."""
+        key = ("hyp", y_hw)
+        if key not in self._jit:
+
+            @jax.jit
+            def fn(params, zz):
+                return self.model.apply(
+                    {"params": params}, zz, y_hw,
+                    method=lambda m, z_, hw: m.base.h_s(z_, hw),
+                )
+
+            self._jit[key] = fn
+        return self._jit[key]
+
     def _predict_fn(self, y_shape):
         key = ("pred", y_shape)
         if key not in self._jit:
@@ -172,10 +197,8 @@ class LMSFCTemporalCodec:
         level_shapes = [(f.shape[3], f.shape[1], f.shape[2]) for f in feats]
 
         analysis = self._analysis_fn(tuple(f.shape for f in feats))
-        y, z, scales_h, means_h = analysis(self.params, feats)
+        y, z, _, _ = analysis(self.params, feats)
         y_np = np.asarray(y, np.float32)
-        sh_np = np.asarray(scales_h, np.float32)
-        mh_np = np.asarray(means_h, np.float32)
         eb, eb_medians, gc = self._tables()
 
         z_np = np.asarray(z, np.float32)
@@ -183,6 +206,14 @@ class LMSFCTemporalCodec:
         z_idx = np.broadcast_to(
             np.arange(z_np.shape[-1], dtype=np.int32), z_np.shape[1:]
         ).ravel()
+
+        # recompute hyper params from QUANTIZED z through the decoder's exact
+        # standalone program (see _hyper_fn): bit-identical on both sides
+        z_hat = z_sym.astype(np.float32) + eb_medians[None, None, None, :]
+        hyper = self._hyper_fn((y.shape[1], y.shape[2]))
+        sh_np, mh_np = hyper(self.params, jnp.asarray(z_hat))
+        sh_np = np.asarray(sh_np, np.float32)
+        mh_np = np.asarray(mh_np, np.float32)
 
         predict = self._predict_fn(y.shape[1:])
         out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
@@ -193,7 +224,7 @@ class LMSFCTemporalCodec:
         byte_sizes: List[float] = []
         with open(path, "wb") as fd:
             fd.write(_MAGIC)
-            write_uchars(fd, (_VERSION, len(names), min(self.intra_period, 255)))
+            write_uchars(fd, (_VERSION, len(names), self.intra_period))
             write_uints(fd, (n_frames,))
             for name, (c, h, w) in zip(names, level_shapes):
                 nb = name.encode("ascii")
@@ -270,15 +301,7 @@ class LMSFCTemporalCodec:
             ).reshape(z_h, z_w, z_c)
             z_hat[t] = z_sym.astype(np.float32) + eb_medians[None, None, :]
 
-        hyper = self._jit.setdefault(
-            ("hyp", (y_h, y_w, z_hat.shape)),
-            jax.jit(
-                lambda p, zz: self.model.apply(
-                    {"params": p}, zz, (y_h, y_w),
-                    method=lambda m, z_, hw: m.base.h_s(z_, hw),
-                )
-            ),
-        )
+        hyper = self._hyper_fn((y_h, y_w))
         sh, mh = hyper(self.params, jnp.asarray(z_hat))
         sh = np.asarray(sh, np.float32)
         mh = np.asarray(mh, np.float32)

@@ -67,8 +67,22 @@ class _ImageModeMixin:
                 wr.write_frame(y, u, v)
 
         payload = out_dir / f"{stem}{bitstream_name}.codec.bin"
-        cmd = self.get_encode_cmd_img(yuv_path, payload, w2, h2, n)
-        run_cmdline(cmd, out_dir / f"{stem}{bitstream_name}_enc.log")
+        logp = out_dir / f"{stem}{bitstream_name}_enc.log"
+        intra_period = self.intra_period if self.intra_period > 0 else n
+        cmds = self.get_encode_cmd(
+            yuv_path, payload, w2, h2, n, intra_period, chroma_format="420"
+        )
+        if len(cmds) == 1:
+            run_cmdline(cmds[0], logp)
+        else:
+            run_cmdlines_parallel(cmds, logp)
+            parts = [
+                Path(a.split("=", 1)[1])
+                for cmd in cmds
+                for a in cmd
+                if a.startswith("--BitstreamFile=")
+            ]
+            run_cmdline(self.get_parcat_cmd(parts, payload), logp)
 
         final = out_dir / f"{stem}{bitstream_name}.bin"
         with open(final, "wb") as fd:
@@ -79,21 +93,6 @@ class _ImageModeMixin:
                 shutil.copyfileobj(pf, fd)
         total = final.stat().st_size
         return {"bytes": [total / n] * n, "bitstream": str(final)}
-
-    def get_encode_cmd_img(self, yuv: Path, out_bin: Path, w: int, h: int, n_frames: int) -> List[str]:
-        cmd = [
-            self.encoder_path, "-i", str(yuv), "-b", str(out_bin),
-            "-wdt", str(w), "-hgt", str(h),
-            "-fr", str(self.frame_rate), "-f", str(n_frames),
-            "-q", str(self.qp),
-            "--InputBitDepth=10", "--InternalBitDepth=10",
-            "--InputChromaFormat=420",
-            f"--IntraPeriod={self.intra_period if self.intra_period > 0 else n_frames}",
-            "--DecodingRefreshType=2", "--Level=5.1",
-        ]
-        if self.cfg_file:
-            cmd = cmd[:1] + ["-c", self.cfg_file] + cmd[1:]
-        return cmd
 
     def _decode_images(self, path: Path, out_dir: Path) -> Dict:
         from ..utils.color import yuv420_to_bgr
@@ -122,6 +121,10 @@ class _ImageModeMixin:
 
 @register_codec("vtm")
 class VTM(_ImageModeMixin, BaseCodec):
+    # raw format of the packed feature frames fed to the encoder binary;
+    # x264/x265 override to yuv444_10le (ref codecs/ffmpeg.py:142-157)
+    feature_yuv_format = "yuv400_10le"
+
     def __init__(
         self,
         encoder_path: str = "EncoderAppStatic",
@@ -133,6 +136,7 @@ class VTM(_ImageModeMixin, BaseCodec):
         frame_rate: int = 30,
         parallel_encoding: bool = True,
         bitdepth: int = 10,
+        hash_check: int = 1,
         min_max_override: Optional[Tuple[float, float]] = None,
         **kwargs,
     ):
@@ -145,6 +149,9 @@ class VTM(_ImageModeMixin, BaseCodec):
         self.frame_rate = frame_rate
         self.parallel_encoding = parallel_encoding
         self.bitdepth = bitdepth
+        # md5 decoded-picture hash (-dph); MPEG anchor configs enable it
+        # (ref cfgs/codec/vtm.yaml:24 hash_check: 1)
+        self.hash_check = hash_check
         self._min_max_override = min_max_override
 
     # ----------------------------------------------------------- min / max
@@ -158,31 +165,66 @@ class VTM(_ImageModeMixin, BaseCodec):
         return mm
 
     # --------------------------------------------------------- commandlines
+    _VERBOSITY_FLAGS = ("-v", "6")  # VTM only; HM has no -v (ref :717-741)
+
+    def _hash_flags(self) -> List[str]:
+        return ["-dph", str(self.hash_check)]
+
     def get_encode_cmd(
-        self, yuv: Path, out_bin: Path, w: int, h: int, n_frames: int, intra_period: int
-    ) -> List[str]:
-        """VTM EncoderApp args (ref std_codecs.py:154-255)."""
-        cmd = [
-            self.encoder_path,
-            "-i", str(yuv),
-            "-b", str(out_bin),
+        self, yuv: Path, out_bin: Path, w: int, h: int, n_frames: int, intra_period: int,
+        chroma_format: str = "400",
+    ) -> List[List[str]]:
+        """VTM EncoderApp cmdline(s), flags matching the MPEG anchor exactly
+        (ref std_codecs.py:154-255): -ts 1, -v 6, Level 5.1 (video) / 6.2
+        (stills), ConformanceWindowMode=1, DecodingRefreshType=1 iff
+        intra_period>=1, -o /dev/null. Returns one cmdline, or several for
+        GOP-parallel encoding: chunks of intra_period+1 frames selected by
+        --FrameSkip on the shared YUV, parts named -part-{e:03d}, merged by
+        parcat (ref :204-255)."""
+        level = 5.1 if n_frames > 1 else 6.2  # MPEG anchor rule
+        decoding_refresh_type = 1 if intra_period >= 1 else 0
+        base = [self.encoder_path, "-i", str(yuv)]
+        if self.cfg_file:
+            base += ["-c", str(self.cfg_file)]
+        base += [
+            "-q", str(self.qp),
+            "-o", "/dev/null",
             "-wdt", str(w),
             "-hgt", str(h),
             "-fr", str(self.frame_rate),
-            "-f", str(n_frames),
-            "-q", str(self.qp),
-            "--InputBitDepth=10",
-            "--InternalBitDepth=10",
-            "--InputChromaFormat=400",
-            "--FrameSkip=0",
+            # temporal subsampling 1: prevents the default period of 8 in
+            # all-intra configs (ref :189-190)
+            "-ts", "1",
+            *self._VERBOSITY_FLAGS,
+            f"--Level={level}",
             f"--IntraPeriod={intra_period}",
-            "--DecodingRefreshType=2",
-            "--Level=5.1",
-            "-dph", "1",
+            f"--InputChromaFormat={chroma_format}",
+            f"--InputBitDepth={self.bitdepth}",
+            f"--InternalBitDepth={self.bitdepth}",
+            "--ConformanceWindowMode=1",
+            *self._hash_flags(),
+            f"--DecodingRefreshType={decoding_refresh_type}",
         ]
-        if self.cfg_file:
-            cmd = cmd[:1] + ["-c", self.cfg_file] + cmd[1:]
-        return cmd
+        if not self.parallel_encoding or n_frames <= intra_period + 1:
+            return [base + [f"--BitstreamFile={out_bin}", f"--FramesToBeEncoded={n_frames}"]]
+        # GOP-parallel (ref :211-255); chunks while frames remain — the ref's
+        # round(n/ip + 0.5) chunk count can add a 0-frame part when n is an
+        # even multiple of ip (banker's rounding); this loop is otherwise
+        # identical and never emits an empty encode
+        out_bin = Path(out_bin)
+        cmds, skip, remaining, e = [], 0, n_frames, 0
+        while remaining > 0:
+            count = min(remaining, intra_period + 1)
+            part = out_bin.parent / f"{out_bin.stem}-part-{e:03d}{out_bin.suffix}"
+            cmds.append(base + [
+                f"--BitstreamFile={part}",
+                f"--FrameSkip={skip}",
+                f"--FramesToBeEncoded={count}",
+            ])
+            skip += intra_period
+            remaining -= intra_period
+            e += 1
+        return cmds
 
     def get_decode_cmd(self, bin_path: Path, yuv_out: Path) -> List[str]:
         return [
@@ -229,33 +271,39 @@ class VTM(_ImageModeMixin, BaseCodec):
         q = np.asarray(q).astype(np.uint16)
 
         yuv_path = out_dir / f"{stem}{bitstream_name}.yuv"
-        with YUVWriter(yuv_path, frm_w, frm_h, "yuv400_10le") as wr:
+        fmt = self.feature_yuv_format
+        neutral = None
+        if fmt.startswith("yuv444"):
+            # x264/x265 feature path packs into Y of yuv444p10le with
+            # neutral chroma (ref codecs/ffmpeg.py:142-157)
+            neutral = np.full((frm_h, frm_w), 1 << (self.bitdepth - 1), q.dtype)
+        with YUVWriter(yuv_path, frm_w, frm_h, fmt) as wr:
             for f in range(n_frames):
-                wr.write_frame(q[f])
+                if neutral is None:
+                    wr.write_frame(q[f])
+                else:
+                    wr.write_frame(q[f], neutral, neutral)
 
         payload = out_dir / f"{stem}{bitstream_name}.vtm.bin"
         logp = out_dir / f"{stem}{bitstream_name}_enc.log"
         intra_period = self.intra_period if self.intra_period > 0 else n_frames
 
-        if self.parallel_encoding and n_frames > intra_period > 0:
-            # GOP-parallel: one encoder process per intra-period chunk
-            chunk_bins = []
-            cmds = []
-            starts = list(range(0, n_frames, intra_period))
-            for ci, s in enumerate(starts):
-                cnt = min(intra_period, n_frames - s)
-                cyuv = out_dir / f"{stem}{bitstream_name}_chunk{ci}.yuv"
-                _slice_yuv(yuv_path, cyuv, frm_w, frm_h, s, cnt)
-                cbin = out_dir / f"{stem}{bitstream_name}_chunk{ci}.bin"
-                chunk_bins.append(cbin)
-                cmds.append(self.get_encode_cmd(cyuv, cbin, frm_w, frm_h, cnt, intra_period))
-            run_cmdlines_parallel(cmds, logp)
-            run_cmdline(self.get_parcat_cmd(chunk_bins, payload), logp)
+        cmds = self.get_encode_cmd(
+            yuv_path, payload, frm_w, frm_h, n_frames, intra_period
+        )
+        if len(cmds) == 1:
+            run_cmdline(cmds[0], logp)
         else:
-            run_cmdline(
-                self.get_encode_cmd(yuv_path, payload, frm_w, frm_h, n_frames, intra_period),
-                logp,
-            )
+            # GOP-parallel encode over the thread pool, then parcat merge
+            # (ref std_codecs.py:204-274)
+            run_cmdlines_parallel(cmds, logp)
+            parts = [
+                Path(a.split("=", 1)[1])
+                for cmd in cmds
+                for a in cmd
+                if a.startswith("--BitstreamFile=")
+            ]
+            run_cmdline(self.get_parcat_cmd(parts, payload), logp)
         assert payload.exists() and payload.stat().st_size > 0, "encoder produced no bitstream"
 
         # prepend self-decodable header (ref std_codecs.py:629-647 writes
@@ -314,7 +362,7 @@ class VTM(_ImageModeMixin, BaseCodec):
             self.get_decode_cmd(raw_bin, yuv_out), out_dir / f"{path.stem}_dec.log"
         )
 
-        reader = YUVReader(yuv_out, frm_w, frm_h, "yuv400_10le")
+        reader = YUVReader(yuv_out, frm_w, frm_h, self.feature_yuv_format)
         frames = np.stack([y for y, _, _ in reader.frames()])[:n_frames]
         deq = min_max_inv_normalization(
             jnp.asarray(frames.astype(np.float32)), minv, maxv, bitdepth
@@ -334,22 +382,13 @@ class HM(VTM):
             parcat_path=parcat_path, **kwargs,
         )
 
-    def get_encode_cmd(self, yuv, out_bin, w, h, n_frames, intra_period):
-        cmd = [
-            self.encoder_path,
-            "-i", str(yuv), "-b", str(out_bin),
-            "-wdt", str(w), "-hgt", str(h),
-            "-fr", str(self.frame_rate), "-f", str(n_frames),
-            "-q", str(self.qp),
-            "--InputBitDepth=10", "--InternalBitDepth=10",
-            "--InputChromaFormat=400",
-            f"--IntraPeriod={intra_period}",
-            "--DecodingRefreshType=2",
-            "--Level=5.1", "--SEIDecodedPictureHash=1",
-        ]
-        if self.cfg_file:
-            cmd = cmd[:1] + ["-c", self.cfg_file] + cmd[1:]
-        return cmd
+    # HM's EncoderApp takes neither -v nor -dph: the reference HM cmdline
+    # (std_codecs.py:717-741) is the VTM one minus those two flags; the
+    # GOP-parallel FrameSkip logic is shared verbatim.
+    _VERBOSITY_FLAGS = ()
+
+    def _hash_flags(self) -> List[str]:
+        return []
 
 
 @register_codec("vvenc")
@@ -357,22 +396,25 @@ class VVENC(VTM):
     """vvenc/vvdec fast VVC (ref std_codecs.py:797-837)."""
 
     def __init__(self, encoder_path="vvencapp", decoder_path="vvdecapp",
-                 preset: str = "medium", **kwargs):
+                 preset: str = "fast", **kwargs):
         super().__init__(encoder_path=encoder_path, decoder_path=decoder_path, **kwargs)
         self.preset = preset
 
-    def get_encode_cmd(self, yuv, out_bin, w, h, n_frames, intra_period):
-        return [
+    def get_encode_cmd(self, yuv, out_bin, w, h, n_frames, intra_period,
+                       chroma_format: str = "400"):
+        """vvencapp args matching ref std_codecs.py:808-836 exactly
+        (yuv420_10 input — vvencapp has no 400 mode — no GOP-parallel)."""
+        return [[
             self.encoder_path,
-            "-i", str(yuv), "-o", str(out_bin),
-            "-s", f"{w}x{h}",
-            "-r", str(self.frame_rate),
-            "-f", str(n_frames),
+            "-i", str(yuv),
             "-q", str(self.qp),
-            "--preset", self.preset,
-            "-c", "yuv400_10",
-            "--refreshsec", str(max(1, intra_period // max(self.frame_rate, 1))),
-        ]
+            "--output", str(out_bin),
+            "--size", f"{w}x{h}",
+            "--framerate", str(self.frame_rate),
+            "--frames", str(n_frames),
+            "--format", "yuv420_10",
+            "--preset", str(self.preset),
+        ]]
 
     def get_decode_cmd(self, bin_path, yuv_out):
         return [self.decoder_path, "-b", str(bin_path), "-o", str(yuv_out)]
@@ -399,8 +441,3 @@ def dump_fpn_sizes_json(
     Path(path).write_text(json.dumps(payload, indent=4))
 
 
-def _slice_yuv(src: Path, dst: Path, w: int, h: int, start: int, count: int) -> None:
-    frame_bytes = w * h * 2  # 10-bit le
-    with open(src, "rb") as f, open(dst, "wb") as g:
-        f.seek(start * frame_bytes)
-        g.write(f.read(count * frame_bytes))

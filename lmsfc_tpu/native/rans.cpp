@@ -207,6 +207,9 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
     for (int32_t c = 0; c < n_cdfs; ++c) {
       const int32_t* cdf = cdfs + static_cast<int64_t>(c) * cdf_stride;
       const int32_t n_sym = cdf_lengths[c] - 1;  // symbols 0..n_sym-1
+      // LUT rows hold int16 symbol ids; an oversized table must fail loudly
+      // rather than wrap and decode garbage
+      if (n_sym - 1 > INT16_MAX) return -1;
       int16_t* row = lut.data() + (static_cast<size_t>(c) << kPrecision);
       for (int32_t s = 0; s < n_sym; ++s) {
         for (int32_t v = cdf[s]; v < cdf[s + 1]; ++v) row[v] = static_cast<int16_t>(s);

@@ -48,6 +48,28 @@ class BasePipeline:
         self.profile_dir = get("profile_dir")
         self.timer = StageTimer([p.value for p in Parts])
 
+    # ------------------------------------------------------- frame range
+    def frame_slice(self, total: Optional[int] = None) -> slice:
+        """Frame range selected by skip_n_frames / n_frames_to_be_encoded.
+
+        Mirrors ref pipelines/base.py:106-112: coding a PARTIAL range is only
+        allowed in encode_only mode — a partial decode+eval would silently
+        score a truncated sequence against full ground truth.
+        """
+        start = self.skip_n_frames
+        stop = None if self.n_frames_to_be_encoded < 0 else start + self.n_frames_to_be_encoded
+        partial = start > 0 or (
+            stop is not None and (total is None or stop < total)
+        )
+        if partial and not self.encode_only:
+            raise ValueError(
+                "partial frame-range coding (skip_n_frames="
+                f"{self.skip_n_frames}, n_frames_to_be_encoded="
+                f"{self.n_frames_to_be_encoded}) requires encode_only=True "
+                "(ref pipelines/base.py:106-112)"
+            )
+        return slice(start, stop)
+
     def maybe_profile(self):
         """XLA profiler trace around the run (SURVEY.md §5: the reference has
         wall timers only, run/eval_split_inference.py timing dict; jax

@@ -30,10 +30,18 @@ class ImageSplitInference(BasePipeline):
         org_map_func = None
         n_pixels = 0
         idx = 0
+        ds = getattr(dataloader, "dataset", None)
+        total = len(ds) if ds is not None and hasattr(ds, "__len__") else None
+        frange = self.frame_slice(total)
         for batch in dataloader:
             for sample in batch:
                 file_prefix = f"img_id_{sample.get('image_id', idx)}"
+                fidx = idx
                 idx += 1
+                if fidx < frange.start or (
+                    frange.stop is not None and fidx >= frange.stop
+                ):
+                    continue
                 org = sample.get("org_input_size", {})
                 n_pixels += org.get("height", 0) * org.get("width", 0)
 
@@ -100,9 +108,27 @@ class VideoSplitInference(BasePipeline):
         samples: List[Dict] = []
         meta: Dict[str, Any] = {}
 
-        # ---- phase 1: NN-Part1 over all frames, features buffered on host
+        total = None
+        ds = getattr(dataloader, "dataset", None)
+        if ds is not None and hasattr(ds, "__len__"):
+            total = len(ds)
+        frange = self.frame_slice(total)
+
+        if self.decode_only:
+            return self._decode_only(vision_model, codec, dataloader, evaluator)
+
+        # ---- phase 1: NN-Part1 over the selected frame range, features
+        # buffered on host (skip_n_frames / n_frames_to_be_encoded enforced,
+        # ref pipelines/base.py:106-112)
+        seen = 0
         for batch in dataloader:
             for sample in batch:
+                fidx = seen
+                seen += 1
+                if fidx < frange.start:
+                    continue
+                if frange.stop is not None and fidx >= frange.stop:
+                    continue
                 self.timer.start(Parts.NNTaskPart1.value)
                 feats = self._from_input_to_features(
                     vision_model, [sample], f"frame_{len(samples):06d}"
@@ -160,6 +186,10 @@ class VideoSplitInference(BasePipeline):
             self.timer.stop()
 
         performance = self._evaluation(evaluator)
+        coded_res = self._coded_res(enc["bytes"], samples, meta, dataloader)
+        return self.timer.times, codec.eval_encode_type, coded_res, performance
+
+    def _coded_res(self, coded_bytes, samples, meta, dataloader) -> Dict:
         org = samples[0].get("org_input_size", {}) if samples else {}
         # fps from the sequence's seqinfo.ini via the catalog (ref
         # datasets/utils.py:152-158), falling back to NN1 metadata
@@ -167,10 +197,58 @@ class VideoSplitInference(BasePipeline):
         catalog = getattr(getattr(dataloader, "dataset", None), "catalog", None)
         if fps is None and catalog is not None:
             fps = getattr(catalog, "seq_info", {}).get("fps")
-        coded_res = {
-            "bytes": enc["bytes"],
+        n_frames = len(samples)
+        return {
+            "bytes": coded_bytes,
             "total_pixels": n_frames * org.get("height", 0) * org.get("width", 0),
             "n_frames": n_frames,
             "fps": fps or 30,
         }
+
+    def _decode_only(self, vision_model, codec, dataloader, evaluator) -> tuple:
+        """Resume from an existing sequence bitstream: no NN-Part1, decode ->
+        NN-Part2 -> digest (the video analog of the reference's image-mode
+        decode_only, ref image_split_inference.py:86-129)."""
+        bin_path = self.codec_output_dir / "sequence.bin"
+        assert bin_path.exists(), f"decode_only: missing {bin_path}"
+
+        samples: List[Dict] = []
+        for batch in dataloader:
+            samples.extend(batch)
+
+        self.timer.start(Parts.Decoder.value)
+        dec = self._decompress(codec, str(bin_path), self.codec_output_dir, "")
+        self.timer.stop()
+
+        # rebuild the metadata NN-Part1 would have produced
+        meta: Dict[str, Any] = {}
+        org = samples[0].get("org_input_size", {}) if samples else {}
+        h, w = org.get("height", 0), org.get("width", 0)
+        if hasattr(vision_model, "expected_input_size"):
+            h, w = vision_model.expected_input_size((h, w))
+        meta["input_size"] = [(h, w)]
+        meta["org_input_size"] = org
+        for k, v in meta.items():
+            dec.setdefault(k, v)
+
+        n_dec = next(iter(dec["data"].values())).shape[0]
+        assert n_dec == len(samples), (
+            f"decode_only: bitstream has {n_dec} frames, dataset has "
+            f"{len(samples)} — partial streams cannot be evaluated"
+        )
+        for i, sample in enumerate(samples):
+            frame_feats = {
+                "data": {tag: t[i : i + 1] for tag, t in dec["data"].items()},
+                **{k: v for k, v in dec.items() if k != "data"},
+            }
+            self.timer.start(Parts.NNTaskPart2.value)
+            preds = self._from_features_to_output(vision_model, frame_feats)
+            self.timer.stop()
+            self.timer.start(Parts.Evaluation.value)
+            if evaluator is not None:
+                evaluator.digest(sample, preds[0])
+            self.timer.stop()
+
+        performance = self._evaluation(evaluator)
+        coded_res = self._coded_res([bin_path.stat().st_size], samples, meta, dataloader)
         return self.timer.times, codec.eval_encode_type, coded_res, performance

@@ -104,6 +104,9 @@ def train_rate_point(
 
     metrics = {}
     t0 = time.perf_counter()
+    # loss/bpp trajectory as a committable artifact (one JSON line per log)
+    traj_path = ckpt_dir / "trajectory.jsonl"
+    traj_fd = open(traj_path, "a")
     for step_i in range(start_step, steps):
         feats = [jnp.asarray(f) for f in next(data_iter)]
         key, sub = jax.random.split(key)
@@ -114,10 +117,14 @@ def train_rate_point(
             print(
                 f"[lmbda={lmbda}] step {step_i+1}/{steps} "
                 f"loss={m['loss']:.4f} mse={m['mse']:.4f} bpp={m['bpp']:.4f} "
-                f"aux={m['aux']:.1f} ({rate:.1f} feat/s)"
+                f"aux={m['aux']:.1f} ({rate:.1f} feat/s)",
+                flush=True,
             )
+            traj_fd.write(json.dumps({"step": step_i + 1, "feat_per_s": rate, **m}) + "\n")
+            traj_fd.flush()
         if (step_i + 1) % ckpt_every == 0 or step_i + 1 == steps:
             mgr.save(step_i + 1, jax.device_get(state.params), jax.device_get(state.opt_state))
+    traj_fd.close()
     return {k: float(v) for k, v in metrics.items()}
 
 

@@ -106,12 +106,12 @@ def make_train_step(
                     finest_stride=finest_stride,
                 )
                 losses["rate_idx"] = rate_idx
-                aux = model.apply({"params": params}, method=type(model).aux_loss)
-                return losses["loss"] + aux, {**losses, "aux": aux}
-            out = model.apply(
-                {"params": params}, list(features), training=True, rngs={"noise": rng}
-            )
-            losses = rd_loss(out, list(features), lmbda, finest_stride=finest_stride)
+            else:
+                out = model.apply(
+                    {"params": params}, list(features), training=True,
+                    rngs={"noise": rng},
+                )
+                losses = rd_loss(out, list(features), lmbda, finest_stride=finest_stride)
             aux = model.apply({"params": params}, method=type(model).aux_loss)
             total = losses["loss"] + aux
             metrics = {**losses, "aux": aux}

@@ -19,6 +19,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config, load_config
 from ..models import LMSFCv2
@@ -69,12 +70,53 @@ def train_rate_point(
             channels=channels, seed=t.get("seed", 0),
         )
     elif dump_dir:
-        source = FeatureDumpSource(Path(dump_dir), batch, base_hw, seed=t.get("seed", 0))
+        source = FeatureDumpSource(
+            Path(dump_dir), batch, base_hw, seed=t.get("seed", 0),
+            preload=bool(t.get("preload", False)),
+        )
     else:
         source = SyntheticSource(batch, base_hw, channels, seed=t.get("seed", 0))
+    # device-resident data: stage ALL dumps in HBM once and crop on device
+    # inside the jitted step (relay-attached TPUs choke on per-step host
+    # transfers; see training/data.device_crop_sampler)
+    device_data = (
+        bool(t.get("device_data", True))
+        and mesh is None
+        and not temporal
+        and dump_dir
+        and jax.default_backend() != "cpu"
+    )
+    sampler = None
+    levels_full = None
+    if device_data:
+        from ..training.data import device_crop_sampler
+
+        cache = source._cache
+        if cache is None:
+            cache = [source._sample(i) for i in range(len(source.files))]
+        keys = list(cache[0].keys())
+        levels_full = [
+            jax.device_put(
+                np.concatenate([np.transpose(c[k], (0, 2, 3, 1)) for c in cache])
+            )
+            for k in keys
+        ]
+        del cache
+        print(
+            f"device data: {len(source.files)} dumps staged in HBM "
+            f"({sum(l.nbytes for l in levels_full)/1e9:.2f} GB)"
+        )
+        sampler = device_crop_sampler(base_hw, batch)
     data_iter = iter(source)
 
-    example = [jnp.asarray(f[:1]) for f in next(data_iter)]
+    if device_data:
+        h, w = base_hw
+        example = []
+        for lvl in levels_full:
+            example.append(jnp.zeros((1, h, w, lvl.shape[-1]), jnp.float32))
+            h, w = -(-h // 2), -(-w // 2)
+    else:
+        example = [jnp.asarray(f[:1]) for f in next(data_iter)]
     state = create_train_state(
         model, example,
         learning_rate=t.get("learning_rate", 1e-4),
@@ -96,6 +138,7 @@ def train_rate_point(
     step_fn = make_train_step(
         model, lmbda=lmbda, mesh=None if temporal else mesh,
         lmbdas=list(lmbdas_joint) if lmbdas_joint else None,
+        device_sampler=sampler,
     )
     steps = t.get("steps", 100)
     log_every = t.get("log_every", 50)
@@ -108,7 +151,10 @@ def train_rate_point(
     traj_path = ckpt_dir / "trajectory.jsonl"
     traj_fd = open(traj_path, "a")
     for step_i in range(start_step, steps):
-        feats = [jnp.asarray(f) for f in next(data_iter)]
+        if device_data:
+            feats = levels_full  # already in HBM; step crops on device
+        else:
+            feats = [jnp.asarray(f) for f in next(data_iter)]
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, feats, sub)
         if (step_i + 1) % log_every == 0 or step_i + 1 == steps:

@@ -61,6 +61,7 @@ class FeatureDumpSource:
         base_hw: Tuple[int, int] = (64, 64),
         levels: Optional[Sequence[str]] = None,
         seed: int = 0,
+        preload: bool = False,
     ):
         self.files = sorted(Path(dump_dir).glob("*_features.npz"))
         if not self.files:
@@ -69,15 +70,28 @@ class FeatureDumpSource:
         self.base_hw = base_hw
         self.levels = list(levels) if levels else None
         self.rng = np.random.default_rng(seed)
+        # decompressing a full npz per sample starves the accelerator on
+        # few-core hosts; preload decompresses every dump into RAM once
+        self._cache: Optional[List[dict]] = None
+        if preload:
+            self._cache = []
+            for f in self.files:
+                loaded = np.load(f)
+                keys = self.levels or [k for k in loaded.files if k != "_meta"]
+                self._cache.append({k: np.asarray(loaded[k]) for k in keys})
+
+    def _sample(self, idx: int) -> dict:
+        if self._cache is not None:
+            return self._cache[idx]
+        loaded = np.load(self.files[idx])
+        keys = self.levels or [k for k in loaded.files if k != "_meta"]
+        return {k: loaded[k] for k in keys}
 
     def __iter__(self) -> Iterator[List[np.ndarray]]:
         while True:
             batch_feats: Optional[List[List[np.ndarray]]] = None
             for _ in range(self.batch):
-                f = self.files[self.rng.integers(len(self.files))]
-                loaded = np.load(f)
-                keys = self.levels or [k for k in loaded.files if k != "_meta"]
-                crops = self._crop({k: loaded[k] for k in keys})
+                crops = self._crop(self._sample(int(self.rng.integers(len(self.files)))))
                 if batch_feats is None:
                     batch_feats = [[] for _ in crops]
                 for i, c in enumerate(crops):
@@ -108,6 +122,50 @@ class FeatureDumpSource:
             ch, cw = -(-ch // 2), -(-cw // 2)
             cy, cx = cy // 2, cx // 2
         return out
+
+
+def device_crop_sampler(base_hw: Tuple[int, int], batch: int):
+    """On-device random-crop sampler (jit-traceable).
+
+    The host->device path is the training bottleneck on relay-attached TPUs
+    (a b32 64x64 4-level batch is ~176MB/step); instead the FULL dump set is
+    staged in HBM once and every step samples crops with device RNG +
+    dynamic_slice — zero per-step host transfer.
+
+    Returns sample(levels, rng) -> list of [batch,h,w,C] crops, where
+    levels are [N,H,W,C] arrays (finest first, dyadic sizes).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h0, w0 = base_hw
+
+    def sample(levels, rng):
+        n_levels = len(levels)
+        align = 2 ** (n_levels - 1)
+        n, fh, fw = levels[0].shape[0], levels[0].shape[1], levels[0].shape[2]
+        rng_i, rng_y, rng_x = jax.random.split(rng, 3)
+        img = jax.random.randint(rng_i, (batch,), 0, n)
+        # top-left on the finest level, aligned to the coarsest stride
+        y0 = jax.random.randint(rng_y, (batch,), 0, (fh - h0) // align + 1) * align
+        x0 = jax.random.randint(rng_x, (batch,), 0, (fw - w0) // align + 1) * align
+        out = []
+        ch, cw = h0, w0
+        for lvl, data in enumerate(levels):
+            ys = y0 >> lvl
+            xs = x0 >> lvl
+
+            def crop_one(i, y, x, d=data, hh=ch, ww=cw):
+                # 4-D dynamic_slice: never materializes the whole image
+                return jax.lax.dynamic_slice(
+                    d, (i, y, x, 0), (1, hh, ww, d.shape[-1])
+                )[0]
+
+            out.append(jax.vmap(crop_one)(img, ys, xs))
+            ch, cw = -(-ch // 2), -(-cw // 2)
+        return out
+
+    return sample
 
 
 class SyntheticClipSource:

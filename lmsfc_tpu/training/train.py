@@ -76,6 +76,7 @@ def make_train_step(
     proxy_weight: float = 0.0,
     shard_spatial: bool = False,
     lmbdas: Optional[Sequence[float]] = None,
+    device_sampler: Optional[Callable] = None,
 ) -> Callable:
     """Returns jitted (state, features, rng) -> (state, metrics).
 
@@ -86,6 +87,9 @@ def make_train_step(
     `deeper_features_for_accuracy_proxy` hook (base_wrapper.py:55-59).
     lmbdas (optional, gain-unit models): one lambda per rate point; each
     step samples a rate index and trains that operating point.
+    device_sampler (optional, from data.device_crop_sampler): `features`
+    is then the FULL HBM-resident dump set ([N,H,W,C] per level) and each
+    step crops its batch on device — no per-step host transfer.
     """
     multi_rate = lmbdas is not None and getattr(model, "num_rates", 0) > 0
     if multi_rate:
@@ -93,6 +97,10 @@ def make_train_step(
         lmbda_arr = jnp.asarray(list(lmbdas), jnp.float32)
 
     def step(state: TrainState, features, rng):
+        if device_sampler is not None:
+            rng_crop, rng = jax.random.split(rng)
+            features = device_sampler(list(features), rng_crop)
+
         def loss_fn(params):
             if multi_rate:
                 rng_rate, rng_noise = jax.random.split(rng)

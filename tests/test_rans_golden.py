@@ -1,0 +1,151 @@
+"""Golden-vector bit-exactness tests for the C++ rANS coder (VERDICT r1 #3).
+
+The CompressAI package is not installable in this environment, so bit-
+exactness is pinned three ways:
+
+  1. byte-identity of the C++ coder against an independent pure-Python
+     transcription of the public rans64 construction
+     (tests/rans_reference.py) across representative symbol layouts;
+  2. committed binary fixtures (tests/fixtures/rans/*.bin) generated from
+     that reference — any byte drift in either implementation fails CI;
+  3. a pmf_to_quantized_cdf golden test with hand-computed tables following
+     CompressAI's published quantization algorithm (round-half-away scale,
+     integer renormalization to 2^precision, lowest-frequency steal repair).
+
+Interop statement: the coder writes little-endian u32 words, 64-bit state
+flushed as [low, high] at the stream head, 16-bit probability precision,
+escape = last regular symbol with 4-bit-nibble bypass (saturated prefix,
+LSB-first nibbles) — the layout of CompressAI's encode_with_indexes /
+decode_with_indexes (SURVEY.md §2.9). A stream produced by either coder for
+the same (symbols, indexes, CDF tables) is decodable by the other.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lmsfc_tpu.entropy.cdf import pmf_to_quantized_cdf
+from lmsfc_tpu.native import RansDecoder, RansEncoder
+
+from . import rans_reference as pyref
+
+FIXTURE_DIR = Path(__file__).parent / "fixtures" / "rans"
+
+
+def _cases():
+    """Representative (name, symbols, indexes, cdfs, lengths, offsets)."""
+    # case A: two CDF rows, all symbols in range
+    cdf_a = [0, 30000, 50000, 65536]           # 2 regular + escape
+    cdf_b = [0, 10000, 30000, 60000, 65536]    # 3 regular + escape
+    pad = lambda c, L: c + [0] * (L - len(c))
+    cdfs = [pad(cdf_a, 5), pad(cdf_b, 5)]
+    lengths = [4, 5]
+    offsets = [-1, 2]
+    yield (
+        "in_range",
+        [-1, 0, 2, 3, 4, -1, 0],
+        [0, 0, 1, 1, 1, 0, 0],
+        cdfs, lengths, offsets,
+    )
+    # case B: escapes both sides (negative + large positive, multi-nibble)
+    yield (
+        "escapes",
+        [-7, 5, 1000, -300, 2, 70000],
+        [0, 0, 1, 1, 1, 1],
+        cdfs, lengths, offsets,
+    )
+    # case C: long pseudo-random stream over 4 rows
+    rng = np.random.default_rng(42)
+    n_rows, n_sym = 4, 4096
+    rows, lens, offs = [], [], []
+    max_len = 12
+    for r in range(n_rows):
+        k = int(rng.integers(2, max_len - 2))
+        pmf = rng.dirichlet(np.ones(k)) * 0.999
+        cdf = pmf_to_quantized_cdf(list(pmf) + [0.001]).tolist()
+        rows.append(pad(cdf, max_len + 2))
+        lens.append(len(cdf))
+        offs.append(int(rng.integers(-5, 5)))
+    idx = rng.integers(0, n_rows, n_sym).astype(np.int32)
+    sym = np.array(
+        [int(rng.integers(-3, lens[i] + 3)) + offs[i] for i in idx], np.int32
+    )
+    yield ("random4k", sym.tolist(), idx.tolist(), rows, lens, offs)
+
+
+@pytest.mark.parametrize("case", list(_cases()), ids=lambda c: c[0])
+def test_cpp_matches_python_reference(case):
+    name, sym, idx, cdfs, lengths, offsets = case
+    expected = pyref.encode_with_indexes(sym, idx, cdfs, lengths, offsets)
+    enc = RansEncoder()
+    got = enc.encode_with_indexes(
+        np.asarray(sym, np.int32), np.asarray(idx, np.int32),
+        np.asarray(cdfs, np.int32), np.asarray(lengths, np.int32),
+        np.asarray(offsets, np.int32),
+    )
+    assert bytes(got) == expected, f"{name}: byte mismatch"
+
+    # cross-decode: python reference decodes the C++ stream
+    back = pyref.decode_with_indexes(bytes(got), idx, cdfs, lengths, offsets)
+    assert back == list(sym)
+
+    # ... and the C++ decoder decodes the python stream
+    dec = RansDecoder()
+    back2 = dec.decode_with_indexes(
+        expected, np.asarray(idx, np.int32),
+        np.asarray(cdfs, np.int32), np.asarray(lengths, np.int32),
+        np.asarray(offsets, np.int32),
+    )
+    assert back2.tolist() == list(sym)
+
+
+@pytest.mark.parametrize("case", list(_cases()), ids=lambda c: c[0])
+def test_committed_fixtures(case):
+    """Byte streams are pinned as committed binary fixtures: ANY change to
+    either coder that shifts the bitstream layout fails here."""
+    name, sym, idx, cdfs, lengths, offsets = case
+    path = FIXTURE_DIR / f"{name}.bin"
+    assert path.exists(), (
+        f"missing fixture {path} — regenerate with "
+        "python tests/gen_rans_fixtures.py"
+    )
+    expected = path.read_bytes()
+    enc = RansEncoder()
+    got = enc.encode_with_indexes(
+        np.asarray(sym, np.int32), np.asarray(idx, np.int32),
+        np.asarray(cdfs, np.int32), np.asarray(lengths, np.int32),
+        np.asarray(offsets, np.int32),
+    )
+    assert bytes(got) == expected, f"{name}: drift vs committed fixture"
+
+
+class TestPmfToQuantizedCdfGolden:
+    """Hand-computed tables for the CompressAI quantization algorithm."""
+
+    def test_exact_dyadic(self):
+        # precision 16: [0.5, 0.25, 0.25] -> counts [32768, 16384, 16384]
+        got = pmf_to_quantized_cdf([0.5, 0.25, 0.25])
+        assert got.tolist() == [0, 32768, 49152, 65536]
+
+    def test_renormalization(self):
+        # [0.6, 0.3, 0.1]: counts round to [39322, 19661, 6554] sum 65537;
+        # renorm floor(65536*c/65537) = [39321, 19660, 6553], cumsum
+        # [0, 39321, 58981, 65534], last forced to 65536
+        got = pmf_to_quantized_cdf([0.6, 0.3, 0.1])
+        assert got.tolist() == [0, 39321, 58981, 65536]
+
+    def test_zero_width_repair(self):
+        # a pmf entry that quantizes to zero steals one unit from the
+        # lowest-frequency symbol with freq > 1
+        got = pmf_to_quantized_cdf([0.7, 1e-9, 0.3])
+        widths = np.diff(got)
+        assert got[0] == 0 and got[-1] == 65536
+        assert np.all(widths > 0)
+        assert widths[1] == 1  # repaired to the minimum width
+
+    def test_rejects_bad_pmf(self):
+        with pytest.raises(ValueError):
+            pmf_to_quantized_cdf([0.5, -0.1])
+        with pytest.raises(ValueError):
+            pmf_to_quantized_cdf([0.0, 0.0])

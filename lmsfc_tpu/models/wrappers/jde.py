@@ -26,7 +26,16 @@ from .base_wrapper import BaseWrapper
 
 CONF_THRES = 0.5
 NMS_THRES = 0.4
-MAX_DETS_PER_FRAME = 128
+# static upper bound on above-threshold proposals handed to the host NMS.
+# The reference NMS-filters the full conf-thresholded set (ref jde.py:206-260)
+# with no cap; transferring all 54264 proposals (+512-d embeddings) off-device
+# every frame is ~112MB, so the device keeps only above-threshold candidates
+# via masked top-k. If a frame saturates the bound, the wrapper falls back to
+# the exact full-set path for that frame — semantics match the reference for
+# every input.
+CANDIDATES_K = 1024
+# YOLO proposal count at the nominal 1088x608 input (ref jde.py:206-208)
+N_PROPOSALS_1088x608 = 54264
 
 
 @register_vision_model("jde_1088x608")
@@ -38,6 +47,7 @@ class JDE1088x608(BaseWrapper):
         weights: Optional[str] = None,
         conf_thres: float = CONF_THRES,
         nms_thres: float = NMS_THRES,
+        candidates_k: int = CANDIDATES_K,
         **kwargs,
     ):
         self.net = JDENet()
@@ -45,8 +55,10 @@ class JDE1088x608(BaseWrapper):
         self.backbone_split = self.split_ids == (36, 61, 74)
         self.conf_thres = conf_thres
         self.nms_thres = nms_thres
+        self.candidates_k = int(candidates_k)
         self.tracker = JDETracker(frame_rate=frame_rate)
         self._jit_cache: Dict = {}
+        self._total_props: Dict = {}  # shapes -> decoded proposal count
         x = jnp.zeros((1, 64, 96, 3), jnp.float32)
         self._params = self.net.init(jax.random.key(0), x)["params"]
         if weights and Path(weights).exists():
@@ -91,30 +103,46 @@ class JDE1088x608(BaseWrapper):
         }
 
     # ------------------------------------------------------------ NN-Part2
+    def _decode_all(self, params, feats):
+        """Full proposal decode: boxes/confs/embs over every YOLO cell."""
+        method = (
+            JDENet.outputs_from_backbone if self.backbone_split else JDENet.outputs_from_head
+        )
+        out = self.net.apply({"params": params}, feats, method=method)
+        boxes, confs, embs = [], [], []
+        for stride, (pred, emb) in out.items():
+            b, c, e = decode_yolo(pred, emb, int(stride))
+            boxes.append(b)
+            confs.append(c)
+            embs.append(e)
+        return (
+            jnp.concatenate(boxes),
+            jnp.concatenate(confs),
+            jnp.concatenate(embs),
+        )
+
     def _nn2_fn(self, shapes):
         """Jitted NN-Part2, vmapped over the frame axis (the tracker is the
-        only sequential part; the network resumes for all frames at once)."""
-        key = ("nn2", shapes)
+        only sequential part; the network resumes for all frames at once).
+
+        The host receives every above-threshold proposal (as the reference's
+        full-set NMS does, ref jde.py:206-260), selected on device by
+        threshold-masked top-k into a static candidates_k buffer; padding
+        entries carry conf=-1. A saturated buffer falls back to
+        _nn2_full_fn in features_to_output."""
+        key = ("nn2", shapes, self.candidates_k)
         if key not in self._jit_cache:
-            method = (
-                JDENet.outputs_from_backbone if self.backbone_split else JDENet.outputs_from_head
-            )
+            conf_thres = self.conf_thres
 
             def single(params, feats):
                 feats = {k: v[None] for k, v in feats.items()}
-                out = self.net.apply({"params": params}, feats, method=method)
-                boxes, confs, embs = [], [], []
-                for stride, (pred, emb) in out.items():
-                    b, c, e = decode_yolo(pred, emb, int(stride))
-                    boxes.append(b)
-                    confs.append(c)
-                    embs.append(e)
-                boxes = jnp.concatenate(boxes)
-                confs = jnp.concatenate(confs)
-                embs = jnp.concatenate(embs)
-                # top-K by confidence (static shape for the host handoff)
-                k = min(MAX_DETS_PER_FRAME, confs.shape[0])
-                top_c, top_i = jax.lax.top_k(confs, k)
+                boxes, confs, embs = self._decode_all(params, feats)
+                # static at trace time: total decoded proposals for this
+                # geometry (54264 at the nominal 1088x608, ref jde.py:206-208)
+                self._total_props[shapes] = int(confs.shape[0])
+                masked = jnp.where(confs >= conf_thres, confs, -1.0)
+                k = min(self.candidates_k, confs.shape[0])
+                top_c, top_i = jax.lax.top_k(masked, k)
                 return boxes[top_i], top_c, embs[top_i]
 
             @jax.jit
@@ -124,16 +152,53 @@ class JDE1088x608(BaseWrapper):
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
+    def _nn2_full_fn(self, shapes):
+        """Exact fallback: ALL proposals for one frame (no candidate cap)."""
+        key = ("nn2full", shapes)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fn(params, feats):
+                return self._decode_all(params, feats)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
     def features_to_output(self, x: Dict, device: str = "tpu") -> List[List[Dict]]:
         data = {k: jnp.transpose(jnp.asarray(np.asarray(v)), (0, 2, 3, 1)) for k, v in x["data"].items()}
         n = next(iter(data.values())).shape[0]
-        fn = self._nn2_fn(tuple(v.shape[1:] for v in data.values()))
+        shapes = tuple(v.shape[1:] for v in data.values())
+        fn = self._nn2_fn(shapes)
         boxes, confs, embs = fn(self._params, data)
         boxes, confs, embs = np.asarray(boxes), np.asarray(confs), np.asarray(embs)
-        # sequential host tracker per frame (order-dependent, ref jde.py:379)
-        return [
-            self._track_frame(boxes[i], confs[i], embs[i], x) for i in range(n)
-        ]
+
+        # the nominal JDE geometry must decode exactly 54264 proposals
+        # (ref asserts this, jde.py:206-208); count recorded at trace time
+        in_h, in_w = x.get("input_size", [(0, 0)])[0]
+        if (in_h, in_w) == (608, 1088):
+            total = self._total_props.get(shapes)
+            assert total == N_PROPOSALS_1088x608, (
+                f"expected {N_PROPOSALS_1088x608} proposals at 1088x608, "
+                f"decoded {total}"
+            )
+
+        outputs = []
+        for i in range(n):
+            b, c, e = boxes[i], confs[i], embs[i]
+            saturated = (
+                c.shape[0] == self.candidates_k
+                and int(np.sum(c >= self.conf_thres)) == self.candidates_k
+            )
+            if saturated:
+                # candidate buffer saturated: this frame may have more
+                # above-threshold proposals — redo exactly, uncapped
+                full = self._nn2_full_fn(shapes)
+                fb, fc, fe = full(
+                    self._params, {k2: v[i : i + 1] for k2, v in data.items()}
+                )
+                b, c, e = np.asarray(fb), np.asarray(fc), np.asarray(fe)
+            outputs.append(self._track_frame(b, c, e, x))
+        return outputs
 
     def _track_frame(
         self, boxes_xywh: np.ndarray, confs: np.ndarray, embs: np.ndarray, meta: Dict

@@ -43,6 +43,8 @@ from .base_wrapper import BaseWrapper
 # Detectron2 caffe-style preprocessing (BGR, mean only)
 PIXEL_MEAN_BGR = np.array([103.530, 116.280, 123.675], np.float32)
 SIZE_DIVISIBILITY = 32
+# random-init (no real weights) feature-range calibration — see _init_params
+RANDOM_INIT_FEATURE_GAIN = 1.0 / 20.0
 
 
 class _RCNNPart2(nn.Module):
@@ -130,6 +132,21 @@ class _RCNNWrapper(BaseWrapper):
             return
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
         self._params_backbone = self.backbone.init(jax.random.key(0), x)["params"]
+        # calibrate the random init's feature dynamic range to the reference's
+        # (SFUHW features span ~[-18, 17], BASELINE.md): un-calibrated
+        # He-init ResNet on 0..255-mean-subtracted images emits ~20x larger
+        # activations, which destabilizes downstream RD training. The FPN
+        # output convs are the last linear op before the split, so scaling
+        # their kernel+bias scales every feature level exactly.
+        bb = dict(self._params_backbone)
+        fpn = dict(bb["fpn"])
+        for name in list(fpn.keys()):
+            if name.startswith("fpn_output"):
+                fpn[name] = jax.tree_util.tree_map(
+                    lambda a: a * RANDOM_INIT_FEATURE_GAIN, fpn[name]
+                )
+        bb["fpn"] = fpn
+        self._params_backbone = bb
         pyr = [jnp.zeros((1, 16 // (2**i) + 1, 16 // (2**i) + 1, 256), jnp.float32) for i in range(4)]
         self._params_part2 = self.part2.init(jax.random.key(1), pyr, (64, 64))["params"]
 

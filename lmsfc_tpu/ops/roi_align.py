@@ -4,12 +4,19 @@ Replaces Detectron2's CUDA ROIAlign (SURVEY.md §2.10). TPU-first design: all
 pyramid levels are flattened into ONE [sum(H_l*W_l), C] buffer; each ROI's
 assigned level picks a (row-offset, H, W, stride) tuple; bilinear sampling
 becomes 4 gathers into the flat buffer with computed indices. Static shapes
-throughout — R rois x (pool*2)^2 sample points.
+throughout — R rois x (pool*S)^2 sample points.
+
+Adaptive sampling (Detectron2's sampling_ratio=0, ceil(roi_px/P) points per
+bin axis) is reproduced EXACTLY with static shapes: each bin axis always has
+S_max slots; slot a maps to adaptive sample k = floor(a*s/S_max) with weight
+1/(s * n_k) (n_k = slots sharing sample k), so the weighted slot sum equals
+the s-point average for ANY traced s <= S_max. s itself is dynamic per ROI
+(positions/weights are traced floats; only the slot count is static).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,20 +33,40 @@ def assign_levels(
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
+def _slot_positions_weights(size_bins: jax.Array, S: int):
+    """Adaptive slot layout for one axis.
+
+    size_bins: [R] bin extent in level pixels (bh/P). Returns
+    (frac [R,S] in-bin fractional positions, w [R,S] slot weights) such that
+    sum_a w_a * f(frac_a) == (1/s) * sum_k f((k+0.5)/s) with
+    s = clip(ceil(size_bins), 1, S) — Detectron2's sampling_ratio=0 rule.
+    """
+    s = jnp.clip(jnp.ceil(size_bins), 1, S).astype(jnp.int32)  # [R]
+    a = jnp.arange(S, dtype=jnp.int32)  # [S]
+    k = (a[None, :] * s[:, None]) // S  # [R,S] mapped sample index
+    n = jnp.sum(k[:, :, None] == k[:, None, :], axis=2)  # [R,S] multiplicity
+    frac = (k.astype(jnp.float32) + 0.5) / s[:, None].astype(jnp.float32)
+    w = 1.0 / (s[:, None] * n).astype(jnp.float32)
+    return frac, w
+
+
 def roi_align_pyramid(
     features: Sequence[jax.Array],
     boxes: jax.Array,
     levels: jax.Array,
     output_size: int = 7,
     min_level: int = 2,
-    sampling: int = 2,
+    sampling: Union[int, str] = 0,
+    max_sampling: int = 4,
 ) -> jax.Array:
     """features: list [1,H_l,W_l,C] for levels min_level..; boxes [R,4] image
     coords; levels [R]. Returns [R, output_size, output_size, C].
 
-    Aligned bilinear sampling with a fixed `sampling`^2 grid per bin
-    (Detectron2 v2 uses adaptive sampling_ratio=0; a fixed 2x2 grid matches
-    it for the typical ROI sizes and keeps shapes static).
+    sampling=0 (default): Detectron2-exact adaptive sampling_ratio=0
+    (ceil(roi/P) per bin axis, capped at max_sampling — bins needing more
+    than max_sampling points, i.e. boxes beyond ~900px at level 5, get the
+    max_sampling-point average of the same bilinear surface).
+    sampling=k>0: fixed kxk grid per bin (fast path, fewer gathers).
     """
     C = features[0].shape[-1]
     hs = [f.shape[1] for f in features]
@@ -68,7 +95,8 @@ def roi_align_pyramid(
 
     R = boxes.shape[0]
     P = output_size
-    S = sampling
+    adaptive = sampling == 0
+    S = max_sampling if adaptive else int(sampling)
 
     # per-roi box in level coords (aligned: subtract half pixel later)
     x1 = boxes[:, 0] / stride
@@ -78,17 +106,33 @@ def roi_align_pyramid(
     bw = jnp.maximum(x2 - x1, 1e-6)
     bh = jnp.maximum(y2 - y1, 1e-6)
 
-    # sample grid: for bin (i,j), sample positions evenly spaced
-    g = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / S  # in bin units over P bins
-    sy = y1[:, None] + bh[:, None] * (g[None, :] / P)  # [R, P*S]
-    sx = x1[:, None] + bw[:, None] * (g[None, :] / P)
+    if adaptive:
+        frac_y, wy = _slot_positions_weights(bh / P, S)  # [R,S], [R,S]
+        frac_x, wx = _slot_positions_weights(bw / P, S)
+    else:
+        frac = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+        frac_y = frac_x = jnp.broadcast_to(frac, (R, S))
+        wy = wx = jnp.full((R, S), 1.0 / S, jnp.float32)
+
+    # sample grid [R, P*S]: bin index i + in-bin fraction, in bin units
+    bins = jnp.arange(P, dtype=jnp.float32)
+    gy = (bins[:, None] + frac_y[:, None, :]).reshape(R, P * S)
+    gx = (bins[:, None] + frac_x[:, None, :]).reshape(R, P * S)
+    sy = y1[:, None] + bh[:, None] * gy / P
+    sx = x1[:, None] + bw[:, None] * gx / P
 
     # aligned=True: shift by 0.5 (continuous coords -> pixel centers)
     sy = sy - 0.5
     sx = sx - 0.5
 
-    def bilinear(sy, sx, off, H, W):
-        # sy [P*S], sx [P*S] for one roi
+    def bilinear(sy, sx, wy, wx, off, H, W):
+        # sy [P*S], sx [P*S], wy [S], wx [S] for one roi
+        # D2 semantics: a SAMPLE is zeroed iff its continuous coord leaves
+        # [-1, H] (not per bilinear corner); in-range coords clamp to [0,H-1]
+        vy = (sy >= -1.0) & (sy <= H)
+        vx = (sx >= -1.0) & (sx <= W)
+        sy = jnp.clip(sy, 0.0, H - 1.0)
+        sx = jnp.clip(sx, 0.0, W - 1.0)
         y0 = jnp.floor(sy).astype(jnp.int32)
         x0 = jnp.floor(sx).astype(jnp.int32)
         wy1 = sy - y0
@@ -99,9 +143,8 @@ def roi_align_pyramid(
         def at(yi, xi):
             yc = jnp.clip(yi, 0, H - 1)
             xc = jnp.clip(xi, 0, W - 1)
-            inb = (yi >= -1) & (yi <= H) & (xi >= -1) & (xi <= W)
             idx = off + yc * W + xc
-            return flat[idx] * inb[..., None]
+            return flat[idx]
 
         # outer product over the sample grid: vals [P*S, P*S, C]
         v00 = at(y0[:, None], x0[None, :])
@@ -118,8 +161,10 @@ def roi_align_pyramid(
             + v10.astype(jnp.float32) * w10
             + v11.astype(jnp.float32) * w11
         )  # [PS, PS, C]
-        # average each SxS sample block into its bin
-        vals = vals.reshape(P, S, P, S, C).mean(axis=(1, 3))
-        return vals  # [P, P, C]
+        vals = vals * (vy[:, None] & vx[None, :])[..., None]
+        # weighted slot reduction per bin (== s-point average, see module doc)
+        vals = vals.reshape(P, S, P, S, C)
+        vals = vals * wy[None, :, None, None, None] * wx[None, None, None, :, None]
+        return vals.sum(axis=(1, 3))  # [P, P, C]
 
-    return jax.vmap(bilinear)(sy, sx, off, H, W)
+    return jax.vmap(bilinear)(sy, sx, wy, wx, off, H, W)

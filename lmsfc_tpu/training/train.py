@@ -54,8 +54,15 @@ def create_train_state(
             tree,
         )
 
+    # global-norm clip mirrors CompressAI's clip_max_norm=1.0 training recipe
+    # (keeps early RD steps stable when the distortion term spikes)
     tx = optax.multi_transform(
-        {"main": optax.adam(learning_rate), "aux": optax.adam(aux_learning_rate)},
+        {
+            "main": optax.chain(
+                optax.clip_by_global_norm(1.0), optax.adam(learning_rate)
+            ),
+            "aux": optax.adam(aux_learning_rate),
+        },
         label_fn,
     )
     return TrainState(

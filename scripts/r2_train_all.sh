@@ -3,7 +3,7 @@
 # model at full scale (192 filters) on the real feature dumps.
 set -e
 cd /root/repo
-LMBDAS='[0.000025,0.00005,0.0001,0.0002]'
+LMBDAS='[0.0125,0.025,0.05,0.1]'
 COMMON="training.feature_dump_dir=data/train_features training.preload=true
 training.num_filters=192 training.latent_filters=192 training.hyper_filters=128
 training.batch=32 training.log_every=250 training.ckpt_every=5000"

@@ -116,6 +116,10 @@ class MPEGTVDTRACKINGCatalog(BaseDataCatalog):
     def load_gt(self) -> Dict[int, List[Dict]]:
         return read_mot_gt(self.annotation_path)
 
+    def load_gt_ignore(self) -> Dict[int, List[Dict]]:
+        """Ignore-region records (ref datasets/image.py:373-383)."""
+        return read_mot_gt(self.annotation_path, kind="ignore")
+
 
 @register_datacatalog("MPEGHIEVE")
 class MPEGHIEVECatalog(MPEGTVDTRACKINGCatalog):
@@ -131,8 +135,21 @@ class ImagesCatalog(BaseDataCatalog):
     task = "none"
 
 
-def read_mot_gt(path) -> Dict[int, List[Dict]]:
-    """MOT gt.txt: frame,id,x,y,w,h,conf[,cls,vis] -> per-frame records."""
+# MOT17 class semantics used by the JDE reader the reference relies on
+# (jde.utils.io.read_mot_results; ref datasets/image.py:370-383):
+# gt keeps mark!=0 AND class==1 (pedestrian); the ignore set is classes
+# {2: person_on_vehicle, 7: static_person, 8: distractor, 12: reflection}
+# or negative visibility.
+MOT_VALID_CLASSES = frozenset({1})
+MOT_IGNORE_CLASSES = frozenset({2, 7, 8, 12})
+
+
+def read_mot_gt(path, kind: str = "gt") -> Dict[int, List[Dict]]:
+    """MOT gt.txt: frame,id,x,y,w,h,conf[,cls,vis] -> per-frame records.
+
+    kind="gt": annotated targets (mark!=0, class==1 when a class column
+    exists). kind="ignore": the ignore-region records (distractor classes /
+    negative visibility). Rows without a class column are all "gt"."""
     out: Dict[int, List[Dict]] = {}
     if path is None or not Path(path).exists():
         return out
@@ -142,10 +159,23 @@ def read_mot_gt(path) -> Dict[int, List[Dict]]:
             if len(parts) < 6:
                 continue
             frame = int(float(parts[0]))
+            conf = float(parts[6]) if len(parts) > 6 else 1.0
+            cls = int(float(parts[7])) if len(parts) > 7 else None
+            vis = float(parts[8]) if len(parts) > 8 else 1.0
+            if kind == "ignore":
+                if cls is None or not (cls in MOT_IGNORE_CLASSES or vis < 0):
+                    continue
+            else:
+                if conf == 0:
+                    continue
+                if cls is not None and cls not in MOT_VALID_CLASSES:
+                    continue
             rec = {
                 "id": int(float(parts[1])),
                 "tlwh": [float(v) for v in parts[2:6]],
-                "conf": float(parts[6]) if len(parts) > 6 else 1.0,
+                "conf": conf,
+                "class_id": 1 if cls is None else cls,
+                "visibility": vis,
             }
             out.setdefault(frame, []).append(rec)
     return out

@@ -101,6 +101,7 @@ class TrackingDataset(DefaultDataset):
         super().__init__(datacatalog)
         self.width, self.height = width, height
         self.gt = getattr(datacatalog, "load_gt", lambda: {})()
+        self.gt_ignore = getattr(datacatalog, "load_gt_ignore", lambda: {})()
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         path = self.files[idx]
@@ -118,6 +119,7 @@ class TrackingDataset(DefaultDataset):
             "pad": (padw, padh),
             "org_input_size": {"height": h0, "width": w0},
             "gt": self.gt.get(idx + 1, []),
+            "gt_ignore": self.gt_ignore.get(idx + 1, []),
         }
 
 

@@ -53,38 +53,95 @@ def _ioa(d: np.ndarray, g: np.ndarray) -> np.ndarray:
     return np.where(da[:, None] > 0, inter / np.maximum(da[:, None], 1e-12), 0.0)
 
 
+def _mask_iou(d_masks: List[np.ndarray], g_masks: List[np.ndarray]) -> np.ndarray:
+    out = np.zeros((len(d_masks), len(g_masks)))
+    for i, dm in enumerate(d_masks):
+        for j, gm in enumerate(g_masks):
+            inter = np.logical_and(dm, gm).sum()
+            union = np.logical_or(dm, gm).sum()
+            out[i, j] = inter / union if union else 0.0
+    return out
+
+
+def _mask_ioa(d_masks: List[np.ndarray], g_masks: List[np.ndarray]) -> np.ndarray:
+    """Intersection over DETECTION mask area (group-of handling,
+    ref tf_evaluation_utils/np_box_mask_list_ops ioa)."""
+    out = np.zeros((len(d_masks), len(g_masks)))
+    for i, dm in enumerate(d_masks):
+        da = dm.sum()
+        for j, gm in enumerate(g_masks):
+            out[i, j] = np.logical_and(dm, gm).sum() / da if da else 0.0
+    return out
+
+
 @register_evaluator("OIC-EVAL")
 class OpenImagesChallengeEval(BaseEvaluator):
     def __init__(self, datacatalog=None, dataset=None, criteria: str = "mAP@0.5IOU",
-                 iou_threshold: float = 0.5, **kwargs):
+                 iou_threshold: float = 0.5, task: str = "detection", **kwargs):
         self.iou_threshold = iou_threshold
+        # "segmentation": the OIV6 instance-seg protocol (ref evaluators.py:
+        # 235-286 + np_box_mask_list_ops) — IoU/IOA computed on masks
+        self.task = task
         super().__init__(datacatalog, dataset, criteria, **kwargs)
         self.cat_map = getattr(dataset, "cat_id_to_contiguous", None)
 
     def reset(self) -> None:
         self._images: List[Dict] = []
 
+    def _gt_mask(self, ann: Dict, height: int, width: int) -> np.ndarray:
+        from ..ops.masks import polygons_to_mask, rle_decode
+
+        seg = ann.get("segmentation")
+        if seg is None:
+            # box-filled mask fallback
+            x, y, w, h = [int(round(v)) for v in ann["bbox"]]
+            m = np.zeros((height, width), np.uint8)
+            m[max(y, 0) : y + h, max(x, 0) : x + w] = 1
+            return m
+        if isinstance(seg, dict):
+            return rle_decode(seg)
+        if isinstance(seg, np.ndarray):
+            return seg.astype(np.uint8)
+        return polygons_to_mask(seg, height, width)
+
     def digest(self, gt: Any, pred: Any) -> None:
         anns = gt.get("annotations", [])
-        gt_boxes, gt_cls, gt_group = [], [], []
+        org = gt.get("org_input_size", {})
+        height = int(org.get("height", 0))
+        width = int(org.get("width", 0))
+        gt_boxes, gt_cls, gt_group, gt_masks = [], [], [], []
         for a in anns:
             x, y, w, h = a["bbox"]
             gt_boxes.append([x, y, x + w, y + h])
             cid = a["category_id"]
             gt_cls.append(self.cat_map[cid] if self.cat_map else cid)
             gt_group.append(a.get("isgroupof", a.get("IsGroupOf", 0)))
+            if self.task == "segmentation":
+                gt_masks.append(self._gt_mask(a, height, width))
         verified = gt.get("verified_labels")  # None = all classes evaluated
-        self._images.append(
-            {
-                "gt_boxes": np.asarray(gt_boxes, np.float64).reshape(-1, 4),
-                "gt_cls": np.asarray(gt_cls, np.int64),
-                "gt_group": np.asarray(gt_group, np.int64),
-                "verified": None if verified is None else set(verified),
-                "det_boxes": np.asarray(pred["boxes"], np.float64).reshape(-1, 4),
-                "det_cls": np.asarray(pred["classes"], np.int64).reshape(-1),
-                "det_scores": np.asarray(pred["scores"], np.float64).reshape(-1),
-            }
-        )
+        rec = {
+            "gt_boxes": np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+            "gt_cls": np.asarray(gt_cls, np.int64),
+            "gt_group": np.asarray(gt_group, np.int64),
+            "verified": None if verified is None else set(verified),
+            "det_boxes": np.asarray(pred["boxes"], np.float64).reshape(-1, 4),
+            "det_cls": np.asarray(pred["classes"], np.int64).reshape(-1),
+            "det_scores": np.asarray(pred["scores"], np.float64).reshape(-1),
+        }
+        if self.task == "segmentation":
+            from ..ops.masks import paste_mask
+
+            det_masks = []
+            pmasks = pred.get("masks")
+            for i in range(len(rec["det_boxes"])):
+                m = np.asarray(pmasks[i])
+                if m.shape != (height, width):
+                    # 28x28 head output -> full-image binary (D2 postprocess)
+                    m = paste_mask(m, rec["det_boxes"][i], height, width)
+                det_masks.append(m.astype(bool))
+            rec["gt_masks"] = [m.astype(bool) for m in gt_masks]
+            rec["det_masks"] = det_masks
+        self._images.append(rec)
 
     def _class_ap(self, cls: int) -> Optional[float]:
         scores, labels = [], []  # label: 1 tp, 0 fp (ignored dets dropped)
@@ -103,8 +160,18 @@ class OpenImagesChallengeEval(BaseEvaluator):
             g_plain, g_group = g[~group], g[group]
             n_gt += len(g_plain) + len(g_group)  # each group counts once
 
-            iou = _iou(d, g_plain)
-            ioa = _ioa(d, g_group)
+            if self.task == "segmentation":
+                gsel_idx = np.nonzero(gsel)[0]
+                dsel_idx = np.nonzero(dsel)[0][order]
+                gm = [img["gt_masks"][i] for i in gsel_idx]
+                gm_plain = [m for m, grp in zip(gm, group) if not grp]
+                gm_group = [m for m, grp in zip(gm, group) if grp]
+                dm = [img["det_masks"][i] for i in dsel_idx]
+                iou = _mask_iou(dm, gm_plain)
+                ioa = _mask_ioa(dm, gm_group)
+            else:
+                iou = _iou(d, g_plain)
+                ioa = _ioa(d, g_group)
             taken = np.zeros(len(g_plain), bool)
             group_hit = np.zeros(len(g_group), bool)
             for di in range(len(d)):

@@ -9,12 +9,12 @@ training.num_filters=192 training.latent_filters=192 training.hyper_filters=128
 training.batch=32 training.log_every=250 training.ckpt_every=5000"
 
 echo "=== single-rate runs ==="
-python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml $COMMON \
+stdbuf -oL python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml $COMMON \
   "training.lmbdas=$LMBDAS" training.steps=25000 \
-  training.ckpt_root=checkpoints/r2_single
+  training.ckpt_root=checkpoints/r2_single >> checkpoints/single.log 2>&1
 
 echo "=== joint gain-unit run ==="
-python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml $COMMON \
+stdbuf -oL python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml $COMMON \
   "training.lmbdas=$LMBDAS" training.num_rates=4 training.steps=50000 \
-  training.ckpt_root=checkpoints/r2_joint
+  training.ckpt_root=checkpoints/r2_joint >> checkpoints/joint.log 2>&1
 echo "=== ALL DONE ==="

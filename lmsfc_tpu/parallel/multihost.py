@@ -30,19 +30,25 @@ def initialize_distributed(
     vars (the reference records Slurm ids only, config/env.py:52-57; here
     they drive real initialization).
     """
-    if jax.process_count() > 1:
+    # IMPORTANT: probing jax.process_count() here would itself initialize
+    # the XLA backend and make jax.distributed.initialize impossible; the
+    # distributed client state is the only safe already-initialized check.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None and "SLURM_JOB_NODELIST" in os.environ:
-        coordinator_address = None  # jax auto-detects Slurm clusters
-        jax.distributed.initialize()
+        jax.distributed.initialize()  # jax auto-detects Slurm clusters
         return
     if coordinator_address is None:
         return  # single host
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", 0))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", 0)),
+        process_id=process_id,
     )
 
 

@@ -19,3 +19,8 @@ if not _USE_TPU:
     # overrides JAX_PLATFORMS; pin the config so tests run on local CPU.
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    # `-m "not slow"` gives a fast dev loop; default runs everything
+    config.addinivalue_line("markers", "slow: long-running e2e test")

@@ -15,6 +15,8 @@ from lmsfc_tpu.codecs.learned import LMSFCCodec
 from lmsfc_tpu.models.wrappers.rcnn import FasterRCNNFPN
 from lmsfc_tpu.pipelines import ImageSplitInference, VideoSplitInference
 
+pytestmark = pytest.mark.slow  # e2e: skip with -m 'not slow' for a fast loop
+
 
 class _Loader:
     def __init__(self, n=4):

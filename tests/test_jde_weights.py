@@ -12,6 +12,8 @@ torch = pytest.importorskip("torch")
 from lmsfc_tpu.models.wrappers.jde import JDE1088x608
 from lmsfc_tpu.models.wrappers.torch_weights_jde import _BN_EPS, load_jde_weights
 
+pytestmark = pytest.mark.slow  # e2e: skip with -m 'not slow' for a fast loop
+
 
 def _conv_nodes(tree, out):
     """Collect ConvBN nodes in the converter's walk order."""

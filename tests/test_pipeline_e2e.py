@@ -11,6 +11,8 @@ import lmsfc_tpu.plugins  # noqa: F401
 from lmsfc_tpu.config import Config
 from lmsfc_tpu.run.eval_split_inference import run
 
+pytestmark = pytest.mark.slow  # e2e: skip with -m 'not slow' for a fast loop
+
 
 @pytest.fixture(scope="module")
 def tiny_coco_dataset(tmp_path_factory):

@@ -13,6 +13,8 @@ from lmsfc_tpu.evaluators import MOTEval
 from lmsfc_tpu.models.wrappers.jde import JDE1088x608
 from lmsfc_tpu.pipelines import VideoSplitInference
 
+pytestmark = pytest.mark.slow  # e2e: skip with -m 'not slow' for a fast loop
+
 
 class _SyntheticTrackingLoader:
     """4 frames, tiny letterboxed input, with MOT gt."""

@@ -28,6 +28,8 @@ from lmsfc_tpu.models.wrappers.manifest import (
 from lmsfc_tpu.models.wrappers.rcnn import FasterRCNNFPN, MaskRCNNFPN
 from lmsfc_tpu.models.wrappers.torch_weights import load_detectron2_weights
 
+pytestmark = pytest.mark.slow  # e2e: skip with -m 'not slow' for a fast loop
+
 
 def _tree_spec(tree, prefix=()):
     out = {}

@@ -61,3 +61,16 @@ def write_outputs(conf: Config, out_dir: Path) -> None:
     diff = _git(["diff"], Path(__file__).resolve().parent)
     if diff:
         (out_dir / "src.patch").write_text(diff)
+    # installed-package snapshot (ref config/outputs.py:46-79 captures
+    # pip list + freeze); importlib.metadata avoids a pip subprocess
+    try:
+        from importlib import metadata
+
+        pkgs = sorted(
+            f"{d.metadata['Name']}=={d.version}"
+            for d in metadata.distributions()
+            if d.metadata["Name"]
+        )
+        (out_dir / "pip_freeze.txt").write_text("\n".join(pkgs) + "\n")
+    except Exception:  # provenance must never break a run
+        pass

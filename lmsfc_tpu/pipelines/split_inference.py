@@ -162,7 +162,13 @@ class VideoSplitInference(BasePipeline):
         self.timer.stop()
 
         if self.encode_only:
-            return self.timer.times, codec.eval_encode_type, {"bytes": enc["bytes"]}, {}
+            # full coded_res so the runner reports bpp/kbps (not nan)
+            return (
+                self.timer.times,
+                codec.eval_encode_type,
+                self._coded_res(enc["bytes"], samples, meta, dataloader),
+                {},
+            )
 
         self.timer.start(Parts.Decoder.value)
         dec = self._decompress(codec, enc["bitstream"], self.codec_output_dir, "")

@@ -55,13 +55,21 @@ CTTC_COLUMNS = [
 
 def cttc_csv(summary_files: List[Path], out_path: Path) -> None:
     """Collect per-run summary.csv rows into the CTTC report layout."""
+    import re
+
     rows = []
     for f in summary_files:
         with open(f) as fd:
             row = next(csv.DictReader(fd))
+        # sweep layout <seq>/qp<N>/summary.csv: the rate-point dir is not
+        # the sequence — climb past q<N>/qp<N> components
+        parent = Path(f).parent
+        seq = parent.name
+        if re.fullmatch(r"qp?\d+", seq) and parent.parent.name:
+            seq = parent.parent.name
         rows.append(
             {
-                "Sequence": Path(f).parent.name,
+                "Sequence": seq,
                 "QP": row.get("qp", ""),
                 "Bitrate [kbps]": row.get("bitrate_kbps", ""),
                 "BPP": row.get("bpp", ""),

@@ -39,3 +39,23 @@ def shard_along(mesh: Mesh, axis: str = "dp", dim: int = 0) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def channel_tp_shardings(tree, mesh: Mesh):
+    """Tensor-parallel sharding tree for codec params (and optimizer state).
+
+    Conv kernels (HWIO) are sharded over their OUTPUT-channel axis on `tp`;
+    everything else stays replicated and GSPMD propagates: activations come
+    out channel-sharded after each conv, and cross-channel reductions (GDN's
+    sum over channels, the hyper bottleneck) become psums over ICI. Apply
+    with jax.device_put to any pytree whose leaves mirror param shapes
+    (TrainState included — Adam moments share the kernel shapes)."""
+    tp = mesh.shape["tp"]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 4 and shape[-1] % tp == 0:
+            return NamedSharding(mesh, P(None, None, None, "tp"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)

@@ -82,6 +82,7 @@ def make_train_step(
     proxy_fn: Optional[Callable] = None,
     proxy_weight: float = 0.0,
     shard_spatial: bool = False,
+    shard_channels: bool = False,
     lmbdas: Optional[Sequence[float]] = None,
     device_sampler: Optional[Callable] = None,
 ) -> Callable:
@@ -145,6 +146,14 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    if shard_channels:
+        # channel tensor-parallelism: the CALLER device_puts state/batch with
+        # parallel.mesh.channel_tp_shardings / dp batch shardings; leaving
+        # in_shardings open lets GSPMD propagate the tp layout through the
+        # transforms (conv outputs channel-sharded, GDN/channel reductions
+        # become psums) instead of forcing replication at the boundary.
         return jax.jit(step, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())

@@ -35,6 +35,13 @@ def create_dataloader(conf: Config, device: str = "tpu") -> Any:
     Ref: config/config.py:97-117 — identity collator, InferenceSampler; on TPU
     the loader stays a host-side Python iterable (no torch DataLoader).
     """
+    # `dataset.registered: <name>` pulls root/annotations/type/catalog from
+    # the file-backed registry (datasets/registry.py — the legacy VCM
+    # dataset-management replacement)
+    if conf.get("registered"):
+        from ..datasets.registry import resolve_into_config
+
+        resolve_into_config(conf)
     datacatalog = create_datacatalog(conf)
     ds_type = conf.type
     if ds_type not in DATASETS:

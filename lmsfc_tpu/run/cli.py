@@ -15,6 +15,17 @@ tools/plot. Commands:
   bdrate          Bjontegaard delta vs an anchor csv
   aggregate       overall mAP / MOTA / CTTC csv            (repo-root utils)
   clean           remove run artifacts                      (ref clean.py)
+  import-custom   validate+register an image-folder dataset (ref import_custom.py)
+  register        register without validation               (ref register.py)
+  deregister      remove a registry entry                   (ref deregister)
+  list-datasets   show the registry                         (ref list.py)
+  show            one dataset's details + sample files      (ref show.py)
+  copy-dataset    duplicate a registry entry                (ref copy.py)
+  convert-mpeg-to-oiv6  MPEG-VCM csvs -> COCO/OIV6 json     (ref convert_mpeg_to_oiv6.py)
+  download        documented stub: registers already-local files (no egress)
+
+The registry is a JSON file (datasets/registry.py) — the FiftyOne/MongoDB
+daemon of the reference replaced by a daemon-free artifact.
 """
 
 from __future__ import annotations
@@ -72,6 +83,85 @@ def cmd_eval(args) -> None:
     eval_main(["--config", args.config, *args.overrides])
 
 
+# ------------------------------------------------------ dataset management
+def cmd_import_custom(args) -> None:
+    from ..datasets import registry
+
+    entry = registry.register(
+        args.name, args.root, imgs_folder=args.imgs_folder,
+        annotation_file=args.annotation_file, dataset_type=args.type,
+        datacatalog=args.datacatalog, overwrite=args.overwrite,
+    )
+    print(f"registered {args.name!r}: {json.dumps(entry, indent=2)}")
+
+
+def cmd_register(args) -> None:
+    # same as import-custom; kept as a distinct verb for reference parity
+    cmd_import_custom(args)
+
+
+def cmd_deregister(args) -> None:
+    from ..datasets import registry
+
+    registry.deregister(args.name)
+    print(f"deregistered {args.name!r}")
+
+
+def cmd_list_datasets(args) -> None:
+    from ..datasets import registry
+
+    reg = registry.list_datasets()
+    if not reg:
+        print(f"registry empty ({registry.registry_path()})")
+        return
+    for name, e in sorted(reg.items()):
+        print(f"{name}: {e['n_images']} imgs, {e['type']}/{e['datacatalog']}, "
+              f"root={e['root']}")
+
+
+def cmd_show(args) -> None:
+    from ..datasets import registry
+
+    entry = registry.get(args.name)
+    print(json.dumps(entry, indent=2))
+    img_dir = Path(entry["root"]) / entry["imgs_folder"]
+    for i, p in enumerate(sorted(img_dir.iterdir())):
+        if i >= args.n:
+            print("...")
+            break
+        print(" ", p.name)
+
+
+def cmd_copy_dataset(args) -> None:
+    from ..datasets import registry
+
+    registry.copy(args.src, args.dst)
+    print(f"copied {args.src!r} -> {args.dst!r}")
+
+
+def cmd_convert_mpeg_to_oiv6(args) -> None:
+    from ..datasets.registry import convert_mpeg_to_oiv6_json
+
+    stats = convert_mpeg_to_oiv6_json(
+        Path(args.bbox_csv), Path(args.labels_csv), Path(args.out),
+        Path(args.img_dir) if args.img_dir else None,
+    )
+    print(json.dumps(stats))
+
+
+def cmd_download(args) -> None:
+    """No-egress environment: document the source and register local files
+    (the reference's download.py pulls from OpenImages/MPEG hosts)."""
+    print(
+        "This environment has no network egress. Obtain the dataset with the\n"
+        "reference installer (compressai-vision scripts/install.sh) or from\n"
+        "the MPEG content repository, place it locally, then run:\n"
+        f"  lmsfc-vision import-custom {args.name} --root /path/to/data"
+    )
+    if args.root and Path(args.root).exists():
+        cmd_import_custom(args)
+
+
 def cmd_train(args) -> None:
     from .train import main as train_main
 
@@ -124,6 +214,47 @@ def main(argv=None) -> None:
     p.add_argument("--config", required=True)
     p.add_argument("overrides", nargs="*")
     p.set_defaults(fn=cmd_eval)
+
+    def _dataset_args(p):
+        p.add_argument("name")
+        p.add_argument("--root", required=False)
+        p.add_argument("--imgs-folder", dest="imgs_folder", default="images")
+        p.add_argument("--annotation-file", dest="annotation_file", default=None)
+        p.add_argument("--type", default="Detectron2Dataset")
+        p.add_argument("--datacatalog", default="COCO")
+        p.add_argument("--overwrite", action="store_true")
+
+    for verb, fn in (
+        ("import-custom", cmd_import_custom),
+        ("register", cmd_register),
+        ("download", cmd_download),
+    ):
+        p = sub.add_parser(verb)
+        _dataset_args(p)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("deregister")
+    p.add_argument("name")
+    p.set_defaults(fn=cmd_deregister)
+
+    sub.add_parser("list-datasets").set_defaults(fn=cmd_list_datasets)
+
+    p = sub.add_parser("show")
+    p.add_argument("name")
+    p.add_argument("-n", type=int, default=10)
+    p.set_defaults(fn=cmd_show)
+
+    p = sub.add_parser("copy-dataset")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.set_defaults(fn=cmd_copy_dataset)
+
+    p = sub.add_parser("convert-mpeg-to-oiv6")
+    p.add_argument("bbox_csv")
+    p.add_argument("labels_csv")
+    p.add_argument("out")
+    p.add_argument("--img-dir", dest="img_dir", default=None)
+    p.set_defaults(fn=cmd_convert_mpeg_to_oiv6)
 
     p = sub.add_parser("train")
     p.add_argument("--config", default=None)

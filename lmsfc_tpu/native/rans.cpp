@@ -185,36 +185,51 @@ int64_t rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
   return nbytes;
 }
 
+// Build the cum->symbol lookup table (n_cdfs x 2^16 int16) into a caller
+// buffer, so multi-frame decodes pay the ~n_cdfs*65536 writes ONCE per CDF
+// table instead of per call. Returns 0 on success, -1 on error.
+int64_t rans_lut_build(const int32_t* cdfs, int32_t cdf_stride,
+                       const int32_t* cdf_lengths, int32_t n_cdfs,
+                       int16_t* lut) {
+  for (int32_t c = 0; c < n_cdfs; ++c) {
+    const int32_t* cdf = cdfs + static_cast<int64_t>(c) * cdf_stride;
+    const int32_t n_sym = cdf_lengths[c] - 1;  // symbols 0..n_sym-1
+    // LUT rows hold int16 symbol ids; an oversized table must fail loudly
+    // rather than wrap and decode garbage
+    if (n_sym - 1 > INT16_MAX) return -1;
+    int16_t* row = lut + (static_cast<size_t>(c) << kPrecision);
+    for (int32_t s = 0; s < n_sym; ++s) {
+      for (int32_t v = cdf[s]; v < cdf[s + 1]; ++v) row[v] = static_cast<int16_t>(s);
+    }
+  }
+  return 0;
+}
+
 // Returns 0 on success, -1 on error. Writes n decoded values to out_symbols.
+// prebuilt_lut: optional rans_lut_build output; pass NULL to fall back to a
+// per-call LUT (large n) or per-symbol binary search (small n).
 int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
                                  const int32_t* indexes, int64_t n,
                                  const int32_t* cdfs, int32_t cdf_stride,
                                  const int32_t* cdf_lengths,
                                  const int32_t* offsets, int32_t n_cdfs,
-                                 int32_t* out_symbols) {
+                                 int32_t* out_symbols,
+                                 const int16_t* prebuilt_lut) {
   if (nbytes < 8 || (nbytes % 4) != 0) return -1;
   std::vector<uint32_t> buf(static_cast<size_t>(nbytes / 4) + 4, 0u);
   std::memcpy(buf.data(), data, static_cast<size_t>(nbytes));
   uint32_t* ptr = buf.data();
 
-  // For large payloads, replace the per-symbol binary search with a direct
-  // cum->symbol lookup table (n_cdfs x 2^16 int16): O(1) per symbol. The
-  // build cost is ~n_cdfs * 2^16 writes, amortized over big frames.
-  std::vector<int16_t> lut;
-  const bool use_lut = n >= static_cast<int64_t>(n_cdfs) * 4096;
-  if (use_lut) {
-    lut.resize(static_cast<size_t>(n_cdfs) << kPrecision);
-    for (int32_t c = 0; c < n_cdfs; ++c) {
-      const int32_t* cdf = cdfs + static_cast<int64_t>(c) * cdf_stride;
-      const int32_t n_sym = cdf_lengths[c] - 1;  // symbols 0..n_sym-1
-      // LUT rows hold int16 symbol ids; an oversized table must fail loudly
-      // rather than wrap and decode garbage
-      if (n_sym - 1 > INT16_MAX) return -1;
-      int16_t* row = lut.data() + (static_cast<size_t>(c) << kPrecision);
-      for (int32_t s = 0; s < n_sym; ++s) {
-        for (int32_t v = cdf[s]; v < cdf[s + 1]; ++v) row[v] = static_cast<int16_t>(s);
-      }
-    }
+  std::vector<int16_t> lut_local;
+  const int16_t* lut = prebuilt_lut;
+  bool use_lut = lut != nullptr;
+  if (!use_lut && n >= static_cast<int64_t>(n_cdfs) * 4096) {
+    lut_local.resize(static_cast<size_t>(n_cdfs) << kPrecision);
+    if (rans_lut_build(cdfs, cdf_stride, cdf_lengths, n_cdfs,
+                       lut_local.data()) != 0)
+      return -1;
+    lut = lut_local.data();
+    use_lut = true;
   }
 
   Rans64State rans;

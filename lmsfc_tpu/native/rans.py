@@ -48,11 +48,15 @@ def _load() -> ctypes.CDLL:
             i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p,
             ctypes.c_int32, u8p, ctypes.c_int64,
         ]
+        i16p = ctypes.POINTER(ctypes.c_int16)
         lib.rans_decode_with_indexes.restype = ctypes.c_int64
         lib.rans_decode_with_indexes.argtypes = [
             u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int32,
-            i32p, i32p, ctypes.c_int32, i32p,
+            i32p, i32p, ctypes.c_int32, i32p, i16p,
         ]
+        lib.rans_lut_build.restype = ctypes.c_int64
+        lib.rans_lut_build.argtypes = [i32p, ctypes.c_int32, i32p,
+                                       ctypes.c_int32, i16p]
         _lib = lib
     return _lib
 
@@ -101,6 +105,32 @@ class RansEncoder:
 
 
 class RansDecoder:
+    """Decoder with a per-table symbol-LUT cache: the ~n_cdfs*65536 int16
+    cum->symbol table is built once per CDF table and reused across frames
+    (multi-frame video decode previously rebuilt it every call)."""
+
+    def __init__(self):
+        self._lut_cache = {}
+
+    def _lut_for(self, cdfs: np.ndarray, cdf_lengths: np.ndarray):
+        key = (cdfs.ctypes.data, cdfs.shape)
+        lut = self._lut_cache.get(key)
+        if lut is None:
+            lib = _load()
+            lut = np.empty(cdfs.shape[0] << 16, np.int16)
+            rc = lib.rans_lut_build(
+                _ptr(cdfs, ctypes.c_int32), ctypes.c_int32(cdfs.shape[1]),
+                _ptr(cdf_lengths, ctypes.c_int32),
+                ctypes.c_int32(cdfs.shape[0]),
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            )
+            if rc != 0:
+                raise RuntimeError("rans_lut_build failed (oversized table?)")
+            # key on the ORIGINAL buffer address: hold a reference so the
+            # address can't be recycled while the cache entry lives
+            self._lut_cache[key] = lut = (lut, cdfs)
+        return lut[0]
+
     def decode_with_indexes(
         self,
         data: bytes,
@@ -118,12 +148,21 @@ class RansDecoder:
         buf = np.frombuffer(data, dtype=np.uint8)
         buf = np.ascontiguousarray(buf)
         out = np.empty(n, dtype=np.int32)
+        # prebuilt LUT pays off from the second call on; tiny payloads on a
+        # fresh table stay on the binary-search path
+        use_cache = n >= cdfs.shape[0] * 256 or (
+            (cdfs.ctypes.data, cdfs.shape) in self._lut_cache
+        )
+        lut = self._lut_for(cdfs, cdf_lengths) if use_cache else None
         rc = lib.rans_decode_with_indexes(
             _ptr(buf, ctypes.c_uint8), ctypes.c_int64(buf.size),
             _ptr(indexes, ctypes.c_int32), ctypes.c_int64(n),
             _ptr(cdfs, ctypes.c_int32), ctypes.c_int32(cdfs.shape[1]),
             _ptr(cdf_lengths, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
             ctypes.c_int32(cdfs.shape[0]), _ptr(out, ctypes.c_int32),
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+            if lut is not None
+            else ctypes.POINTER(ctypes.c_int16)(),
         )
         if rc != 0:
             raise RuntimeError("rans_decode_with_indexes failed")

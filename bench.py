@@ -42,23 +42,52 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _smooth_features(n_frames: int):
+    """FPN-like features: spatially-correlated multi-octave noise at the
+    reference's dynamic range (std~3, BASELINE.md) — white noise would put
+    the entropy coder at a meaningless operating point."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    data = {}
+    for i, ((h, w), c) in enumerate(zip(SHAPES, CHANNELS)):
+        acc = np.zeros((n_frames, h, w, c), np.float32)
+        for octave, amp in ((8, 2.0), (4, 1.0), (1, 0.35)):
+            gh, gw = max(2, h // octave), max(2, w // octave)
+            g = rng.normal(0, amp, (n_frames, gh, gw, c)).astype(np.float32)
+            acc += np.repeat(np.repeat(g, -(-h // gh), 1), -(-w // gw), 2)[:, :h, :w]
+        data[f"p{i+2}"] = np.transpose(acc, (0, 3, 1, 2))
+    return data
+
+
 def bench_e2e(n_frames: int = 32, trials: int = 3) -> float:
     """Full codec path via the registered codec plugin: encode() writes a
-    real self-decodable bitstream, decode() reconstructs the pyramid."""
+    real self-decodable bitstream, decode() reconstructs the pyramid.
+
+    Uses the committed TRAINED params (bench_assets/lmsfc_q4_params.npz) —
+    an untrained entropy model degenerates into escape/bypass coding and
+    measures nothing real."""
     import tempfile
+    from pathlib import Path
 
     import numpy as np
 
     from lmsfc_tpu.codecs.learned import LMSFCCodec
 
-    rng = np.random.default_rng(0)
-    data = {
-        f"p{i+2}": rng.normal(0, 2, (n_frames, c, h, w)).astype(np.float32)
-        for i, ((h, w), c) in enumerate(zip(SHAPES, CHANNELS))
-    }
+    data = _smooth_features(n_frames)
+    params = None
+    asset = Path(__file__).parent / "bench_assets" / "lmsfc_q4_params.npz"
+    if asset.exists():
+        sys.path.insert(0, str(Path(__file__).parent / "scripts"))
+        from export_bench_params import load_bench_params
+
+        params = load_bench_params(asset)
+        log(f"e2e: trained params loaded from {asset.name}")
+    else:
+        log("e2e: WARNING no bench asset; random params -> pessimistic rANS load")
     codec = LMSFCCodec(
         num_filters=192, latent_filters=192, hyper_filters=128,
-        dtype="bfloat16", chunk_frames=8, seed=0,
+        dtype="bfloat16", chunk_frames=8, seed=0, params=params,
     )
     with tempfile.TemporaryDirectory() as td:
         # warmup: compiles all programs + builds CDF tables

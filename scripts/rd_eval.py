@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 LMBDAS = (0.0125, 0.025, 0.05, 0.1)
 
 
-def build_eval_features(n_frames: int, hw=(512, 768), seed: int = 777):
+def build_eval_features(n_frames: int, hw=(256, 384), seed: int = 777):
     """Held-out sequence: procedural images (disjoint seed) -> NN1."""
     from make_training_features import procedural_image  # scripts/ sibling
 
@@ -73,7 +73,8 @@ def eval_point(codec, data, n_pixels, out_dir: Path, tag: str):
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt-root", default="checkpoints")
-    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--hw", type=int, nargs=2, default=(256, 384))
     ap.add_argument("--out", default="runs/rd_r02")
     args = ap.parse_args()
 
@@ -82,7 +83,7 @@ def main() -> None:
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    data, (h, w) = build_eval_features(args.frames)
+    data, (h, w) = build_eval_features(args.frames, hw=tuple(args.hw))
     n_pixels = h * w
     print(f"eval features: {args.frames} frames at {h}x{w}, "
           f"range [{min(v.min() for v in data.values()):.2f}, "
@@ -126,8 +127,14 @@ def main() -> None:
     if len(curves["single"]) >= 4 and len(curves["joint"]) >= 4:
         rs, qs = zip(*sorted(curves["single"]))
         rj, qj = zip(*sorted(curves["joint"]))
-        report["bd_rate_joint_vs_single_pct"] = bd_rate(rs, qs, rj, qj)
-        print(f"BD-rate joint vs single: {report['bd_rate_joint_vs_single_pct']:+.2f}%")
+        try:
+            report["bd_rate_joint_vs_single_pct"] = bd_rate(rs, qs, rj, qj)
+            print(f"BD-rate joint vs single: "
+                  f"{report['bd_rate_joint_vs_single_pct']:+.2f}%")
+        except ValueError as e:  # disjoint quality ranges (undertrained joint)
+            report["bd_rate_joint_vs_single_pct"] = None
+            report["bd_rate_error"] = str(e)
+            print(f"BD-rate undefined: {e}")
         mono = all(np.diff([c[1] for c in sorted(curves["single"])]) > 0)
         report["single_curve_monotone"] = bool(mono)
     Path("RD_r02.json").write_text(json.dumps(report, indent=2))

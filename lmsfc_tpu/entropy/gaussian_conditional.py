@@ -85,6 +85,16 @@ class GaussianConditional:
             indexes -= (scales <= s).astype(np.int32)
         return indexes
 
+    @staticmethod
+    def build_indexes_device(scales: jax.Array) -> jax.Array:
+        """Device (XLA) twin of build_indexes: index = #{table[i] < scale,
+        i < 63} == searchsorted(table[:-1], scale, 'left'), identical tie
+        semantics to the host loop (entries exactly equal to a scale count as
+        covering it). Runs inside the hyper-synthesis jit so encoder and
+        decoder derive indexes from the same program's floats."""
+        table = jnp.asarray(SCALES_TABLE[:-1])
+        return jnp.searchsorted(table, scales, side="left").astype(jnp.uint8)
+
     def cdf_table(self, table: np.ndarray = SCALES_TABLE) -> CdfTable:
         """Quantized CDFs per table scale (mirror of CompressAI update())."""
         tail = self.tail_mass / 2.0

@@ -216,6 +216,16 @@ class LMSFCv2(nn.Module):
         scales, means = self.h_s(z_hat, y.shape[1:3])
         return y, z, scales, means
 
+    def analysis_latents(self, features: Sequence[jax.Array], rate_idx=0):
+        """Encode-side latents only (fenet + h_a): the codec quantizes z and
+        recomputes gaussian params through the decoder's exact standalone
+        hyper-synthesis program, so computing h_s here would be dead work."""
+        y = self.fenet(features)
+        if self.num_rates > 0:
+            y = y * self._gain(rate_idx)
+        z = self.h_a(y)
+        return y, z
+
     def synthesis(self, y_hat: jax.Array, shapes_hw: Sequence[Tuple[int, int]],
                   rate_idx=0):
         if self.num_rates > 0:

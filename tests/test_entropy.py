@@ -112,6 +112,25 @@ class TestGaussianConditional:
         # table[idx] >= scale for in-range scales
         assert SCALES_TABLE[idx[2]] >= 0.2
 
+    def test_build_indexes_device_matches_host(self):
+        """The XLA twin must match the host loop bit-for-bit, including ties
+        at exact table entries (a 1-off index desyncs the rANS stream)."""
+        rng = np.random.default_rng(11)
+        scales = np.concatenate(
+            [
+                rng.uniform(0.01, 300.0, 4096).astype(np.float32),
+                SCALES_TABLE,  # exact ties
+                np.nextafter(SCALES_TABLE, np.inf),
+                np.nextafter(SCALES_TABLE, -np.inf),
+                [0.0, 1e-9, 1e9],
+            ]
+        ).astype(np.float32)
+        host = GaussianConditional.build_indexes(scales)
+        dev = np.asarray(
+            jax.jit(GaussianConditional.build_indexes_device)(jnp.asarray(scales))
+        )
+        np.testing.assert_array_equal(host, dev.astype(np.int32))
+
     def test_roundtrip_through_rans(self):
         gc = GaussianConditional()
         rng = np.random.default_rng(8)

@@ -92,6 +92,7 @@ class LMSFCCodec:
         # gain-unit models: qp selects the rate point within ONE checkpoint
         self.rate_idx = max(0, (qp or 1) - 1) if self.num_rates else 0
         self._params = params
+        self._params_on_device = False
         self._checkpoint_dir = checkpoint_dir
         self._seed = seed
         self._gaussian = GaussianConditional()
@@ -138,6 +139,12 @@ class LMSFCCodec:
                     self._example_features(),
                 )
                 self._params = variables["params"]
+        if not self._params_on_device:
+            # checkpoints/driver code hand over host numpy trees; pin them to
+            # the device ONCE — otherwise every jit call re-uploads the full
+            # weight set (catastrophic on a slow host<->device link)
+            self._params = jax.tree_util.tree_map(jnp.asarray, self._params)
+            self._params_on_device = True
         return self._params
 
     # ------------------------------------------------------------- tables
@@ -174,7 +181,11 @@ class LMSFCCodec:
                     method=LMSFCv2.analysis_latents,
                 )
                 medians = params["entropy_bottleneck"]["quantiles"][:, 0, 1]
-                z_sym = jnp.round(z - medians[None, None, None, :]).astype(jnp.int32)
+                # i16 wire: latent symbols are a few hundred at most (the
+                # clip keeps a pathological activation from wrapping)
+                z_sym = jnp.clip(
+                    jnp.round(z - medians[None, None, None, :]), -32768, 32767
+                ).astype(jnp.int16)
                 return y, z_sym
 
             sh = self._shardings()
@@ -230,7 +241,7 @@ class LMSFCCodec:
         if key not in self._jit_cache:
 
             def fn(y, means):
-                return jnp.round(y - means).astype(jnp.int32)
+                return jnp.clip(jnp.round(y - means), -32768, 32767).astype(jnp.int16)
 
             sh = self._shardings()
             if sh:
@@ -429,7 +440,9 @@ class LMSFCCodec:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        z_sym_all = np.empty((n_frames, z_h, z_w, z_c), np.int32)
+        # i16 mirrors the encoder-side device dtype: both sides must feed the
+        # SAME compiled hyper-idx program (dtype is part of the jit key)
+        z_sym_all = np.empty((n_frames, z_h, z_w, z_c), np.int16)
 
         def _dec_z(i):
             z_sym_all[i] = self._dec.decode_with_indexes(
@@ -451,7 +464,7 @@ class LMSFCCodec:
             chunk_state.append((s, cnt, yi_c, mn_c))
 
         # phase 2 (host): entropy-decode the y streams
-        y_sym_all = np.empty((n_frames, y_h, y_w, y_c), np.int32)
+        y_sym_all = np.empty((n_frames, y_h, y_w, y_c), np.int16)
 
         def _dec_y(args):
             i, y_idx_frame = args

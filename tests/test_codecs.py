@@ -81,6 +81,68 @@ class TestLMSFCCodec:
         out = codec.encode({"data": data}, codec_output_dir=tmp_path, bitstream_name="c")
         assert sum(out["bytes"]) < raw, "learned codec should beat fp32 raw size"
 
+    def test_symbol_roundtrip_bit_exact(self, codec, tmp_path):
+        """The coding path is LOSSLESS at the symbol level: z/y symbols and
+        scale indexes recovered by the decoder equal the encoder's exactly
+        (any mismatch means rANS desync)."""
+        import jax.numpy as jnp
+
+        from lmsfc_tpu.utils.readwrite import read_bytes, read_uchars, read_uints
+
+        data = feature_dict(batch=3, seed=9)
+        feats = [jnp.transpose(jnp.asarray(v), (0, 2, 3, 1)) for v in data.values()]
+        chunk = codec.chunk_frames
+        pad = [jnp.concatenate([f, jnp.repeat(f[-1:], chunk - 3, axis=0)]) for f in feats]
+        analysis = codec._analysis_fn(tuple(f.shape for f in pad), 0)
+        yc, zs = analysis(codec.params, pad)
+        hyper_idx = codec._hyper_idx_fn((yc.shape[1], yc.shape[2]))
+        yi, mn = hyper_idx(codec.params, zs)
+        ysym_enc = np.asarray(codec._sym_fn()(yc, mn))[:3]
+        zsym_enc, yidx_enc = np.asarray(zs)[:3], np.asarray(yi)[:3]
+
+        out = codec.encode({"data": data}, tmp_path, "sym")
+        gc_table, eb_table = codec._tables()
+        with open(out["bitstream"], "rb") as fd:
+            fd.read(4)
+            read_uchars(fd, 4)
+            (nf,) = read_uints(fd, 1)
+            for _ in range(len(data)):
+                (nl,) = read_uchars(fd, 1)
+                read_bytes(fd, nl)
+                read_uints(fd, 3)
+            y_h, y_w, y_c = read_uints(fd, 3)
+            z_h, z_w, z_c = read_uints(fd, 3)
+            zst, yst = [], []
+            for _ in range(nf):
+                (zl,) = read_uints(fd, 1)
+                zst.append(read_bytes(fd, zl))
+                (yl,) = read_uints(fd, 1)
+                yst.append(read_bytes(fd, yl))
+        z_idx = np.broadcast_to(np.arange(z_c, dtype=np.int32), (z_h, z_w, z_c)).ravel()
+        zsym_dec = np.stack(
+            [
+                codec._dec.decode_with_indexes(
+                    zst[i], z_idx, eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets
+                ).reshape(z_h, z_w, z_c)
+                for i in range(nf)
+            ]
+        )
+        np.testing.assert_array_equal(zsym_dec, zsym_enc)
+        zpad = np.concatenate([zsym_dec, np.repeat(zsym_dec[-1:], chunk - 3, 0)])
+        yi2, _ = hyper_idx(codec.params, jnp.asarray(zpad.astype(np.int16)))
+        yi2 = np.asarray(yi2)[:3]
+        np.testing.assert_array_equal(yi2, yidx_enc)
+        ysym_dec = np.stack(
+            [
+                codec._dec.decode_with_indexes(
+                    yst[i], yi2[i].ravel(), gc_table.cdfs,
+                    gc_table.cdf_lengths, gc_table.offsets,
+                ).reshape(y_h, y_w, y_c)
+                for i in range(nf)
+            ]
+        )
+        np.testing.assert_array_equal(ysym_dec, ysym_enc)
+
     def test_odd_sfu_like_shapes(self, tmp_path):
         codec = LMSFCCodec(
             num_filters=16, latent_filters=16, hyper_filters=8,

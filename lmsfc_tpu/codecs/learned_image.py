@@ -55,6 +55,7 @@ class _LearnedImageCodec:
         self.eval_encode = eval_encode
         self.model = self._build(num_filters, latent_filters, dtype)
         self._params = params
+        self._params_on_device = False
         self._checkpoint_dir = checkpoint_dir
         self._seed = seed
         self._gaussian = GaussianConditional()
@@ -88,6 +89,12 @@ class _LearnedImageCodec:
                 self._params = self.model.init(
                     {"params": jax.random.key(self._seed), "noise": jax.random.key(1)}, x
                 )["params"]
+        if not self._params_on_device:
+            from ..utils.tree import device_pin
+
+            # pin once: host numpy trees re-upload per jit call (utils/tree.py)
+            self._params = device_pin(self._params)
+            self._params_on_device = True
         return self._params
 
     def _tables(self):

@@ -77,6 +77,7 @@ class LMSFCTemporalCodec:
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         )
         self._params = params
+        self._params_on_device = False
         self._checkpoint_dir = checkpoint_dir
         self._seed = seed
         self._gaussian = GaussianConditional()
@@ -105,6 +106,12 @@ class LMSFCTemporalCodec:
                     {"params": jax.random.key(self._seed), "noise": jax.random.key(1)},
                     feats,
                 )["params"]
+        if not self._params_on_device:
+            from ..utils.tree import device_pin
+
+            # pin once: host numpy trees re-upload per jit call (utils/tree.py)
+            self._params = device_pin(self._params)
+            self._params_on_device = True
         return self._params
 
     def _tables(self):

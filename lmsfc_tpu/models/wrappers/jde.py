@@ -62,9 +62,12 @@ class JDE1088x608(BaseWrapper):
         x = jnp.zeros((1, 64, 96, 3), jnp.float32)
         self._params = self.net.init(jax.random.key(0), x)["params"]
         if weights and Path(weights).exists():
+            from ...utils.tree import device_pin
             from .torch_weights_jde import load_jde_weights
 
-            self._params = load_jde_weights(weights, self._params)
+            # pin the converted numpy tree once (utils/tree.py: a host tree
+            # re-uploads the full weight set on every jitted call)
+            self._params = device_pin(load_jde_weights(weights, self._params))
 
     @property
     def split_layer_list(self) -> List[str]:

@@ -124,11 +124,16 @@ class _RCNNWrapper(BaseWrapper):
     # ----------------------------------------------------------- parameters
     def _init_params(self):
         if self._weights_path and Path(self._weights_path).exists():
+            from ...utils.tree import device_pin
             from .torch_weights import load_detectron2_weights
 
             self._params_backbone, self._params_part2 = load_detectron2_weights(
                 self._weights_path, with_mask=self.with_mask, depth=self.depth
             )
+            # converted pickles are numpy trees: pin once or every NN1/NN2
+            # call re-uploads the full weight set (utils/tree.py)
+            self._params_backbone = device_pin(self._params_backbone)
+            self._params_part2 = device_pin(self._params_part2)
             return
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
         self._params_backbone = self.backbone.init(jax.random.key(0), x)["params"]

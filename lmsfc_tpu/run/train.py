@@ -127,8 +127,12 @@ def train_rate_point(
     start_step = 0
     restored = mgr.restore(template={"params": state.params, "opt_state": state.opt_state})
     if restored is not None:
+        from ..utils.tree import device_pin
+
+        # pin the restored host tree once: numpy leaves re-upload every step
         state = state.replace(
-            params=restored["params"], opt_state=restored["opt_state"],
+            params=device_pin(restored["params"]),
+            opt_state=device_pin(restored["opt_state"]),
             step=jnp.asarray(mgr.latest_step, jnp.int32),
         )
         start_step = int(mgr.latest_step)

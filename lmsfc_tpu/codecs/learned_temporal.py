@@ -129,64 +129,107 @@ class LMSFCTemporalCodec:
         return self._tables_cache
 
     # -------------------------------------------------------------- jits
+    # Wire discipline mirrors LMSFCCodec: every float that decides coding
+    # state is derived ON DEVICE inside programs shared verbatim by encoder
+    # and decoder; the host only moves integer symbol planes.
     def _analysis_fn(self, shapes):
+        """fn(params, feats) -> (y f32, z_sym i16), device-resident."""
         key = ("ana", shapes)
         if key not in self._jit:
 
             @jax.jit
             def fn(params, feats):
-                return self.model.apply(
-                    {"params": params}, list(feats), method=LMSFCv2Temporal.analysis_clip
+                y, z = self.model.apply(
+                    {"params": params}, list(feats),
+                    method=LMSFCv2Temporal.analysis_latents_clip,
                 )
+                medians = params["base"]["entropy_bottleneck"]["quantiles"][:, 0, 1]
+                z_sym = jnp.clip(
+                    jnp.round(z - medians[None, None, None, :]), -32768, 32767
+                ).astype(jnp.int16)
+                return y, z_sym
 
             self._jit[key] = fn
         return self._jit[key]
 
     def _hyper_fn(self, y_hw):
-        """Standalone hyper-synthesis program shared by encode and decode.
+        """fn(params, z_sym i16) -> (scales_h, means_h), device-resident.
 
-        The fused analysis_clip program also emits scales/means, but XLA may
-        fuse it differently from this standalone program; a 1-ulp drift at a
-        scale-table boundary would flip build_indexes and desync rANS. Both
-        sides therefore recompute gaussian params from quantized z through
-        THIS jit (same fix as LMSFCCodec._chunked_gaussian_params)."""
+        One standalone program shared by encode and decode: a fused variant
+        could drift by 1 ulp at a scale-table boundary and flip an index,
+        desyncing rANS (ADVICE r1 #2)."""
         key = ("hyp", y_hw)
         if key not in self._jit:
 
             @jax.jit
-            def fn(params, zz):
+            def fn(params, z_sym):
+                medians = params["base"]["entropy_bottleneck"]["quantiles"][:, 0, 1]
+                z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
                 return self.model.apply(
-                    {"params": params}, zz, y_hw,
+                    {"params": params}, z_hat, y_hw,
                     method=lambda m, z_, hw: m.base.h_s(z_, hw),
                 )
 
             self._jit[key] = fn
         return self._jit[key]
 
-    def _predict_fn(self, y_shape):
+    def _pred_idx_fn(self, y_shape):
+        """fn(params, y_prev, sh_t, mh_t, is_intra) -> (y_idx u8, means f32).
+
+        The per-frame conditional coding state. Scale->index mapping runs
+        inside this jit (same program on both sides => identical ints)."""
         key = ("pred", y_shape)
         if key not in self._jit:
 
             @jax.jit
             def fn(params, y_prev, sh, mh, is_intra):
-                return self.model.apply(
+                scales, means = self.model.apply(
                     {"params": params}, y_prev, sh, mh, is_intra,
                     method=LMSFCv2Temporal.predict_params,
                 )
+                return GaussianConditional.build_indexes_device(scales), means
+
+            self._jit[key] = fn
+        return self._jit[key]
+
+    def _sym_fn(self):
+        """Encoder-only: fn(y_t, means) -> i16 symbols."""
+        key = ("sym",)
+        if key not in self._jit:
+
+            @jax.jit
+            def fn(y_t, means):
+                return jnp.clip(jnp.round(y_t - means), -32768, 32767).astype(jnp.int16)
+
+            self._jit[key] = fn
+        return self._jit[key]
+
+    def _dequant_fn(self):
+        """fn(y_sym i16, means) -> y_hat f32: the closed-loop reconstruction
+        BOTH sides feed back as y_prev — shared program keeps the prediction
+        chain bit-identical across encoder and decoder."""
+        key = ("deq",)
+        if key not in self._jit:
+
+            @jax.jit
+            def fn(y_sym, means):
+                return y_sym.astype(jnp.float32) + means
 
             self._jit[key] = fn
         return self._jit[key]
 
     def _synthesis_fn(self, shapes_hw, t):
+        """fn(params, y_hat_all) -> device-resident NCHW pyramid levels."""
         key = ("syn", shapes_hw, t)
         if key not in self._jit:
 
             @jax.jit
             def fn(params, y_hat):
-                return self.model.apply(
+                recon = self.model.apply(
                     {"params": params}, y_hat, shapes_hw,
                     method=LMSFCv2Temporal.synthesis_clip,
                 )
+                return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
 
             self._jit[key] = fn
         return self._jit[key]
@@ -197,32 +240,47 @@ class LMSFCTemporalCodec:
         assert not img_input
         data = input["data"]
         names = list(data.keys())
-        feats = [
-            jnp.transpose(jnp.asarray(np.asarray(v)), (0, 2, 3, 1)) for v in data.values()
-        ]
+        half_wire = self.model.dtype == jnp.bfloat16
+        feats = []
+        for v in data.values():
+            if half_wire and isinstance(v, np.ndarray) and v.dtype == np.float32:
+                v = v.astype(np.float16)  # see learned.py: bf16 superset
+            feats.append(jnp.transpose(jnp.asarray(v), (0, 2, 3, 1)))
         n_frames = feats[0].shape[0]
         level_shapes = [(f.shape[3], f.shape[1], f.shape[2]) for f in feats]
 
         analysis = self._analysis_fn(tuple(f.shape for f in feats))
-        y, z, _, _ = analysis(self.params, feats)
-        y_np = np.asarray(y, np.float32)
+        y, z_sym_dev = analysis(self.params, feats)
+        y_shape, z_shape = y.shape, z_sym_dev.shape  # metadata only
         eb, eb_medians, gc = self._tables()
 
-        z_np = np.asarray(z, np.float32)
-        z_sym = np.round(z_np - eb_medians[None, None, None, :]).astype(np.int32)
+        hyper = self._hyper_fn((y_shape[1], y_shape[2]))
+        sh, mh = hyper(self.params, z_sym_dev)  # stay device-resident
+
+        pred_idx = self._pred_idx_fn(y_shape[1:])
+        sym = self._sym_fn()
+        dequant = self._dequant_fn()
+
+        # dispatch the WHOLE closed prediction loop without a single host
+        # sync: y_prev chains through device-side dequant, so the per-frame
+        # programs queue back-to-back and the only downloads are the final
+        # integer planes
+        handles = []  # (y_idx u8 dev, y_sym i16 dev)
+        y_prev = jnp.zeros((1,) + tuple(y_shape[1:]), jnp.float32)
+        for t in range(n_frames):
+            is_intra = (t % self.intra_period) == 0
+            yi_t, means_t = pred_idx(
+                self.params, y_prev, sh[t : t + 1], mh[t : t + 1], is_intra
+            )
+            ys_t = sym(y[t : t + 1], means_t)
+            y_prev = dequant(ys_t, means_t)  # closed loop on device
+            handles.append((yi_t, ys_t))
+
+        z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(
-            np.arange(z_np.shape[-1], dtype=np.int32), z_np.shape[1:]
+            np.arange(z_shape[-1], dtype=np.int32), tuple(z_shape[1:])
         ).ravel()
 
-        # recompute hyper params from QUANTIZED z through the decoder's exact
-        # standalone program (see _hyper_fn): bit-identical on both sides
-        z_hat = z_sym.astype(np.float32) + eb_medians[None, None, None, :]
-        hyper = self._hyper_fn((y.shape[1], y.shape[2]))
-        sh_np, mh_np = hyper(self.params, jnp.asarray(z_hat))
-        sh_np = np.asarray(sh_np, np.float32)
-        mh_np = np.asarray(mh_np, np.float32)
-
-        predict = self._predict_fn(y.shape[1:])
         out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
         out_dir.mkdir(parents=True, exist_ok=True)
         stem = f"{file_prefix}_" if file_prefix else ""
@@ -238,35 +296,24 @@ class LMSFCTemporalCodec:
                 write_uchars(fd, (len(nb),))
                 write_bytes(fd, nb)
                 write_uints(fd, (c, h, w))
-            write_uints(fd, (y.shape[1], y.shape[2], y.shape[3]))
-            write_uints(fd, (z.shape[1], z.shape[2], z.shape[3]))
+            write_uints(fd, (y_shape[1], y_shape[2], y_shape[3]))
+            write_uints(fd, (z_shape[1], z_shape[2], z_shape[3]))
             header = fd.tell()
 
-            y_prev = np.zeros((1,) + tuple(y.shape[1:]), np.float32)
             for t in range(n_frames):
                 z_bytes = self._enc.encode_with_indexes(
                     z_sym[t].ravel(), z_idx, eb.cdfs, eb.cdf_lengths, eb.offsets
                 )
-                is_intra = (t % self.intra_period) == 0
-                scales, means = predict(
-                    self.params, jnp.asarray(y_prev),
-                    jnp.asarray(sh_np[t : t + 1]), jnp.asarray(mh_np[t : t + 1]),
-                    is_intra,
-                )
-                scales = np.asarray(scales, np.float32)
-                means = np.asarray(means, np.float32)
-                y_sym = np.round(y_np[t : t + 1] - means).astype(np.int32)
-                y_idx = GaussianConditional.build_indexes(scales)
+                yi_t, ys_t = handles[t]
                 y_bytes = self._enc.encode_with_indexes(
-                    y_sym.ravel(), y_idx.ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
+                    np.asarray(ys_t).ravel(), np.asarray(yi_t).ravel(),
+                    gc.cdfs, gc.cdf_lengths, gc.offsets,
                 )
                 write_uints(fd, (len(z_bytes),))
                 write_bytes(fd, z_bytes)
                 write_uints(fd, (len(y_bytes),))
                 write_bytes(fd, y_bytes)
                 byte_sizes.append(len(z_bytes) + len(y_bytes) + 8)
-                # closed loop: next frame predicts from the DECODED latent
-                y_prev = y_sym.astype(np.float32) + means
 
         per_frame_header = header / n_frames
         return {
@@ -300,46 +347,40 @@ class LMSFCTemporalCodec:
                 streams.append((zb, yb))
 
         z_idx = np.broadcast_to(np.arange(z_c, dtype=np.int32), (z_h, z_w, z_c)).ravel()
-        # hyper params frame-parallel from decoded z
-        z_hat = np.empty((n_frames, z_h, z_w, z_c), np.float32)
+        # hyper params frame-parallel from decoded z (device-resident)
+        z_sym_all = np.empty((n_frames, z_h, z_w, z_c), np.int16)
         for t, (zb, _) in enumerate(streams):
-            z_sym = self._dec.decode_with_indexes(
+            z_sym_all[t] = self._dec.decode_with_indexes(
                 zb, z_idx, eb.cdfs, eb.cdf_lengths, eb.offsets
             ).reshape(z_h, z_w, z_c)
-            z_hat[t] = z_sym.astype(np.float32) + eb_medians[None, None, :]
 
         hyper = self._hyper_fn((y_h, y_w))
-        sh, mh = hyper(self.params, jnp.asarray(z_hat))
-        sh = np.asarray(sh, np.float32)
-        mh = np.asarray(mh, np.float32)
+        sh, mh = hyper(self.params, jnp.asarray(z_sym_all))
 
-        predict = self._predict_fn((y_h, y_w, y_c))
-        y_hat_all = np.empty((n_frames, y_h, y_w, y_c), np.float32)
-        y_prev = np.zeros((1, y_h, y_w, y_c), np.float32)
+        pred_idx = self._pred_idx_fn((y_h, y_w, y_c))
+        dequant = self._dequant_fn()
+        y_hat_frames = []
+        y_prev = jnp.zeros((1, y_h, y_w, y_c), jnp.float32)
         for t, (_, yb) in enumerate(streams):
             is_intra = (t % intra_period) == 0
-            scales, means = predict(
-                self.params, jnp.asarray(y_prev),
-                jnp.asarray(sh[t : t + 1]), jnp.asarray(mh[t : t + 1]), is_intra,
+            # per-frame sync is inherent to conditional coding: the symbols
+            # cannot be entropy-decoded before the indexes derived from the
+            # previous frame's reconstruction are known
+            yi_t, means_t = pred_idx(
+                self.params, y_prev, sh[t : t + 1], mh[t : t + 1], is_intra
             )
-            scales = np.asarray(scales, np.float32)
-            means = np.asarray(means, np.float32)
-            y_idx = GaussianConditional.build_indexes(scales)
             y_sym = self._dec.decode_with_indexes(
-                yb, y_idx.ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
+                yb, np.asarray(yi_t).ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
             ).reshape(1, y_h, y_w, y_c)
-            y_prev = y_sym.astype(np.float32) + means
-            y_hat_all[t] = y_prev[0]
+            y_prev = dequant(jnp.asarray(y_sym.astype(np.int16)), means_t)
+            y_hat_frames.append(y_prev)
 
         shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
         synthesis = self._synthesis_fn(shapes_hw, n_frames)
-        recon = synthesis(self.params, jnp.asarray(y_hat_all))
-        return {
-            "data": {
-                name: jnp.asarray(np.transpose(np.asarray(r, np.float32), (0, 3, 1, 2)))
-                for name, r in zip(names, recon)
-            }
-        }
+        recon = synthesis(self.params, jnp.concatenate(y_hat_frames, axis=0))
+        for r in recon:
+            _ = float(r[0, 0, 0, 0])  # scalar-readback execution barrier
+        return {"data": dict(zip(names, recon))}
 
     @property
     def qp_value(self):

@@ -152,6 +152,14 @@ class LMSFCv2Temporal(nn.Module):
         scales_h, means_h = self.base.h_s(z_hat, y.shape[1:3])
         return y, z, scales_h, means_h
 
+    def analysis_latents_clip(self, features: Sequence[jax.Array]):
+        """Latents only (fenet + h_a): the codec quantizes z on device and
+        recomputes hyper params through the shared standalone h_s program,
+        so EB/h_s compute here would be dead work."""
+        y = self.base.fenet(list(features))
+        z = self.base.h_a(y)
+        return y, z
+
     def predict_params(self, y_prev_hat: jax.Array, scales_h: jax.Array,
                        means_h: jax.Array, is_intra: bool):
         """Single-frame conditional params (used by BOTH encoder and decoder

@@ -23,6 +23,15 @@ tools/plot. Commands:
   copy-dataset    duplicate a registry entry                (ref copy.py)
   convert-mpeg-to-oiv6  MPEG-VCM csvs -> COCO/OIV6 json     (ref convert_mpeg_to_oiv6.py)
   download        documented stub: registers already-local files (no egress)
+  metrics-eval    PSNR + MS-SSIM over paired image dirs     (ref metrics_eval.py)
+  make-thumbnails resize images into a thumbnail folder     (ref make_thumbnails.py)
+  load-eval       re-evaluate from stashed evaluator state  (ref load_eval.py)
+  auto            register a local dataset dir + evaluate   (ref auto.py)
+  gen-bitstreams  encode_only bitstream generation          (ref vtm.py)
+
+(The reference's killmongo.py has no equivalent by design: there is no
+database daemon to kill — the registry is a flat JSON file. tools.py's
+dataset-path helpers fold into the registry module.)
 
 The registry is a JSON file (datasets/registry.py) — the FiftyOne/MongoDB
 daemon of the reference replaced by a daemon-free artifact.
@@ -197,6 +206,104 @@ def cmd_clean(args) -> None:
             print(f"removed {p}")
 
 
+def cmd_metrics_eval(args) -> None:
+    """PSNR + MS-SSIM between paired images (ref metrics_eval.py: remote-
+    inference quality readout). Pairs ref/test by sorted filename; bpp from
+    an optional bitstream dir (sum of file sizes / total pixels)."""
+    import cv2
+    import numpy as np
+
+    from ..ops.metrics import ms_ssim, psnr
+
+    ref_dir, test_dir = Path(args.ref_dir), Path(args.test_dir)
+    exts = {".png", ".jpg", ".jpeg", ".bmp"}
+    refs = sorted(p for p in ref_dir.iterdir() if p.suffix.lower() in exts)
+    tests = sorted(p for p in test_dir.iterdir() if p.suffix.lower() in exts)
+    assert refs and len(refs) == len(tests), (len(refs), len(tests))
+    rows, npix = [], 0
+    for rp, tp in zip(refs, tests):
+        a = cv2.imread(str(rp)).astype(np.float64)
+        b = cv2.imread(str(tp)).astype(np.float64)
+        assert a.shape == b.shape, (rp.name, a.shape, b.shape)
+        npix += a.shape[0] * a.shape[1]
+        rows.append((rp.name, psnr(a, b), ms_ssim(a, b)))
+    out = {
+        "psnr": sum(r[1] for r in rows) / len(rows),
+        "ms_ssim": sum(r[2] for r in rows) / len(rows),
+        "n_images": len(rows),
+    }
+    if args.bitstream_dir:
+        nbytes = sum(p.stat().st_size for p in Path(args.bitstream_dir).iterdir())
+        out["bpp"] = nbytes * 8 / npix
+    if args.per_image:
+        out["per_image"] = [
+            {"name": n, "psnr": p_, "ms_ssim": m} for n, p_, m in rows
+        ]
+    print(json.dumps(out, indent=2))
+
+
+def cmd_make_thumbnails(args) -> None:
+    """Resize every image into a thumbnails folder (ref make_thumbnails.py)."""
+    import cv2
+
+    src, dst = Path(args.dir), Path(args.out or Path(args.dir) / "thumbnails")
+    dst.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for p in sorted(src.iterdir()):
+        if p.suffix.lower() not in {".png", ".jpg", ".jpeg", ".bmp"}:
+            continue
+        img = cv2.imread(str(p))
+        h, w = img.shape[:2]
+        scale = args.max_size / max(h, w)
+        if scale < 1.0:
+            img = cv2.resize(img, (int(w * scale), int(h * scale)))
+        cv2.imwrite(str(dst / f"{p.stem}.jpg"), img)
+        n += 1
+    print(f"{n} thumbnails in {dst}")
+
+
+def cmd_load_eval(args) -> None:
+    """Re-evaluate from stashed evaluator state without re-running the NN
+    (ref load_eval.py re-evaluates saved detections). Thin wrapper over the
+    aggregate machinery with a single (or many) state files."""
+    from ..tools.aggregate import main as agg_main
+
+    sys.argv = ["aggregate", args.mode, args.out, *args.files]
+    agg_main()
+    print(Path(args.out).read_text())
+
+
+def cmd_auto(args) -> None:
+    """One-shot: import/register a dataset directory then evaluate it
+    (ref auto.py chains download/register/eval; no egress here, so the
+    data must already be local)."""
+    from ..datasets import registry
+
+    registry.register(
+        args.name, args.root, imgs_folder=args.imgs_folder,
+        annotation_file=args.annotation_file, dataset_type=args.type,
+        datacatalog=args.datacatalog, overwrite=True,
+    )
+    print(f"registered {args.name!r}")
+    if args.config:
+        from .eval_split_inference import main as eval_main
+
+        eval_main(
+            ["--config", args.config, f"dataset.config.root={args.root}",
+             f"dataset.config.imgs_folder={args.imgs_folder}"]
+            + ([f"dataset.config.annotation_file={args.annotation_file}"]
+               if args.annotation_file else [])
+            + args.overrides
+        )
+
+
+def cmd_gen_bitstreams(args) -> None:
+    """Bitstream generation only (ref vtm.py): eval with encode_only."""
+    from .eval_split_inference import main as eval_main
+
+    eval_main(["--config", args.config, "pipeline.encode_only=true", *args.overrides])
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="lmsfc-vision", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
@@ -280,6 +387,36 @@ def main(argv=None) -> None:
     p = sub.add_parser("clean")
     p.add_argument("dirs", nargs="+")
     p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser("metrics-eval")
+    p.add_argument("ref_dir")
+    p.add_argument("test_dir")
+    p.add_argument("--bitstream-dir", dest="bitstream_dir", default=None)
+    p.add_argument("--per-image", dest="per_image", action="store_true")
+    p.set_defaults(fn=cmd_metrics_eval)
+
+    p = sub.add_parser("make-thumbnails")
+    p.add_argument("dir")
+    p.add_argument("--out", default=None)
+    p.add_argument("--max-size", dest="max_size", type=int, default=256)
+    p.set_defaults(fn=cmd_make_thumbnails)
+
+    p = sub.add_parser("load-eval")
+    p.add_argument("mode", choices=["map", "mot", "cttc"])
+    p.add_argument("out")
+    p.add_argument("files", nargs="+")
+    p.set_defaults(fn=cmd_load_eval)
+
+    p = sub.add_parser("auto")
+    _dataset_args(p)
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(fn=cmd_auto)
+
+    p = sub.add_parser("gen-bitstreams")
+    p.add_argument("--config", required=True)
+    p.add_argument("overrides", nargs="*")
+    p.set_defaults(fn=cmd_gen_bitstreams)
 
     args = ap.parse_args(argv)
     args.fn(args)

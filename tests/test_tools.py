@@ -63,6 +63,43 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "lmsfc" in out and "video-split-inference" in out
 
+    def test_make_thumbnails(self, tmp_path, capsys):
+        from lmsfc_tpu.run.cli import main
+
+        main(["dummy", "--dir", str(tmp_path / "d"), "--width", "640", "--height", "480"])
+        main(["make-thumbnails", str(tmp_path / "d" / "images"), "--max-size", "64"])
+        import cv2
+
+        thumbs = sorted((tmp_path / "d" / "images" / "thumbnails").iterdir())
+        assert len(thumbs) == 1
+        img = cv2.imread(str(thumbs[0]))
+        assert max(img.shape[:2]) == 64
+
+    def test_metrics_eval(self, tmp_path, capsys):
+        import cv2
+        import json as _json
+        import numpy as np
+        from lmsfc_tpu.run.cli import main
+
+        rng = np.random.default_rng(0)
+        a_dir, b_dir, bs_dir = tmp_path / "a", tmp_path / "b", tmp_path / "bs"
+        for d in (a_dir, b_dir, bs_dir):
+            d.mkdir()
+        img = rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+        noisy = np.clip(img.astype(np.int32) + rng.integers(-5, 6, img.shape), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(a_dir / "x.png"), img)
+        cv2.imwrite(str(b_dir / "x.png"), noisy)
+        (bs_dir / "x.bin").write_bytes(b"\0" * 1536)  # 1536*8/(96*128) = 1 bpp
+        main(["metrics-eval", str(a_dir), str(b_dir), "--bitstream-dir", str(bs_dir)])
+        out = _json.loads(capsys.readouterr().out)
+        # +-5 uniform noise: mse ~ 10 -> psnr ~ 38; identical would be inf
+        assert 30 < out["psnr"] < 45
+        assert 0.9 < out["ms_ssim"] <= 1.0
+        assert out["bpp"] == pytest.approx(1.0)
+        main(["metrics-eval", str(a_dir), str(a_dir)])
+        out = _json.loads(capsys.readouterr().out)
+        assert out["psnr"] == float("inf") and out["ms_ssim"] == pytest.approx(1.0)
+
 
 class TestSFUGroups:
     def test_group_aggregation(self, tmp_path):

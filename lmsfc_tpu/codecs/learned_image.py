@@ -158,18 +158,25 @@ class FactorizedImageCodec(_LearnedImageCodec):
         )
 
     def _encode_frame(self, fd, x):
+        # analysis + quantization in ONE device program: only i16 symbols
+        # cross the wire (same discipline as codecs/learned.py)
         analysis = self._fn(
             ("a", x.shape),
-            lambda: lambda p, xx: self.model.apply({"params": p}, xx, method=FactorizedPrior.analysis),
+            lambda: lambda p, xx: jnp.clip(
+                jnp.round(
+                    self.model.apply({"params": p}, xx, method=FactorizedPrior.analysis)
+                    - p["entropy_bottleneck"]["quantiles"][None, None, None, :, 0, 1]
+                ),
+                -32768, 32767,
+            ).astype(jnp.int16),
         )
-        y = np.asarray(analysis(self.params, x), np.float32)
+        sym = np.asarray(analysis(self.params, x))
         eb, medians, _ = self._tables()
-        sym = np.round(y - medians[None, None, None, :]).astype(np.int32)
         idx = eb_build_indexes(sym.shape[1:], sym.shape[-1])
         bs = self._enc.encode_with_indexes(
             sym.ravel(), idx.ravel(), eb.cdfs, eb.cdf_lengths, eb.offsets
         )
-        write_uints(fd, (y.shape[1], y.shape[2], len(bs)))
+        write_uints(fd, (sym.shape[1], sym.shape[2], len(bs)))
         write_bytes(fd, bs)
 
     def _decode_frame(self, fd, h, w):
@@ -202,40 +209,62 @@ class HyperpriorImageCodec(_LearnedImageCodec):
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         )
 
+    def _hs_idx_fn(self, z_shape, y_hw):
+        """fn(params, z_sym i16) -> (y_idx u8, means) — THE shared program
+        both sides derive coding state from (see codecs/learned.py)."""
+        m = self.model
+
+        def make():
+            def fn(p, z_sym):
+                medians = p["entropy_bottleneck"]["quantiles"][:, 0, 1]
+                z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
+                scales, means = m.apply(
+                    {"params": p}, z_hat, y_hw,
+                    method=MeanScaleHyperprior.hyper_synthesis,
+                )
+                return GaussianConditional.build_indexes_device(scales), means
+
+            return fn
+
+        return self._fn(("hsidx", z_shape, y_hw), make)
+
     def _encode_frame(self, fd, x):
         m = self.model
-        ana = self._fn(
+        # one device program: analysis, hyper-analysis, z quantization
+        enc = self._fn(
             ("a", x.shape),
-            lambda: lambda p, xx: m.apply({"params": p}, xx, method=MeanScaleHyperprior.analysis),
+            lambda: lambda p, xx: (
+                lambda y: (
+                    y,
+                    jnp.clip(
+                        jnp.round(
+                            m.apply({"params": p}, y, method=MeanScaleHyperprior.hyper_analysis)
+                            - p["entropy_bottleneck"]["quantiles"][None, None, None, :, 0, 1]
+                        ),
+                        -32768, 32767,
+                    ).astype(jnp.int16),
+                )
+            )(m.apply({"params": p}, xx, method=MeanScaleHyperprior.analysis)),
         )
-        y = np.asarray(ana(self.params, x), np.float32)
-        ha = self._fn(
-            ("ha", y.shape),
-            lambda: lambda p, yy: m.apply({"params": p}, yy, method=MeanScaleHyperprior.hyper_analysis),
-        )
-        z = np.asarray(ha(self.params, jnp.asarray(y)), np.float32)
+        y_dev, z_sym_dev = enc(self.params, x)
         eb, medians, gc = self._tables()
-        z_sym = np.round(z - medians[None, None, None, :]).astype(np.int32)
+        z_sym = np.asarray(z_sym_dev)
         z_idx = eb_build_indexes(z_sym.shape[1:], z_sym.shape[-1])
         z_bs = self._enc.encode_with_indexes(
             z_sym.ravel(), z_idx.ravel(), eb.cdfs, eb.cdf_lengths, eb.offsets
         )
-        z_hat = z_sym.astype(np.float32) + medians[None, None, None, :]
-        hs = self._fn(
-            ("hs", z_hat.shape + (y.shape[1], y.shape[2])),
-            lambda: lambda p, zz: m.apply(
-                {"params": p}, zz, (y.shape[1], y.shape[2]),
-                method=MeanScaleHyperprior.hyper_synthesis,
-            ),
+        y_hw = (y_dev.shape[1], y_dev.shape[2])
+        yi_dev, means_dev = self._hs_idx_fn(z_sym_dev.shape, y_hw)(self.params, z_sym_dev)
+        sym = self._fn(
+            ("sym",),
+            lambda: lambda yy, mm: jnp.clip(jnp.round(yy - mm), -32768, 32767).astype(jnp.int16),
         )
-        scales, means = hs(self.params, jnp.asarray(z_hat))
-        scales, means = np.asarray(scales, np.float32), np.asarray(means, np.float32)
-        y_sym = np.round(y - means).astype(np.int32)
-        y_idx = GaussianConditional.build_indexes(scales)
+        y_sym = np.asarray(sym(y_dev, means_dev))
         y_bs = self._enc.encode_with_indexes(
-            y_sym.ravel(), y_idx.ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
+            y_sym.ravel(), np.asarray(yi_dev).ravel(),
+            gc.cdfs, gc.cdf_lengths, gc.offsets,
         )
-        write_uints(fd, (y.shape[1], y.shape[2], z.shape[1], z.shape[2]))
+        write_uints(fd, (y_hw[0], y_hw[1], z_sym.shape[1], z_sym.shape[2]))
         write_uints(fd, (len(z_bs),))
         write_bytes(fd, z_bs)
         write_uints(fd, (len(y_bs),))
@@ -252,19 +281,20 @@ class HyperpriorImageCodec(_LearnedImageCodec):
         cz = m.num_filters
         cy = m.latent_filters
         z_idx = eb_build_indexes((zh, zw, cz), cz)
-        z_sym = self._dec.decode_with_indexes(z_bs, z_idx.ravel(), eb.cdfs, eb.cdf_lengths, eb.offsets)
-        z_hat = z_sym.reshape(1, zh, zw, cz).astype(np.float32) + medians[None, None, None, :]
-        hs = self._fn(
-            ("hs", z_hat.shape + (yh, yw)),
-            lambda: lambda p, zz: m.apply(
-                {"params": p}, zz, (yh, yw), method=MeanScaleHyperprior.hyper_synthesis
-            ),
+        z_sym = self._dec.decode_with_indexes(
+            z_bs, z_idx.ravel(), eb.cdfs, eb.cdf_lengths, eb.offsets
+        ).reshape(1, zh, zw, cz).astype(np.int16)
+        yi_dev, means_dev = self._hs_idx_fn(z_sym.shape, (yh, yw))(
+            self.params, jnp.asarray(z_sym)
         )
-        scales, means = hs(self.params, jnp.asarray(z_hat))
-        scales, means = np.asarray(scales, np.float32), np.asarray(means, np.float32)
-        y_idx = GaussianConditional.build_indexes(scales)
-        y_sym = self._dec.decode_with_indexes(y_bs, y_idx.ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets)
-        y_hat = y_sym.reshape(1, yh, yw, cy).astype(np.float32) + means
+        y_sym = self._dec.decode_with_indexes(
+            y_bs, np.asarray(yi_dev).ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
+        )
+        dequant = self._fn(
+            ("deq",),
+            lambda: lambda ss, mm: ss.astype(jnp.float32) + mm,
+        )
+        y_hat = dequant(jnp.asarray(y_sym.reshape(1, yh, yw, cy).astype(np.int16)), means_dev)
         syn = self._fn(
             ("s", (yh, yw, h, w)),
             lambda: lambda p, yy: m.apply(

@@ -38,6 +38,10 @@ class BasePipeline:
         self.n_frames_to_be_encoded = int(get("n_frames_to_be_encoded", -1))
         self.encode_only = bool(get("encode_only", False))
         self.decode_only = bool(get("decode_only", False))
+        # "float16" halves the video pipeline's host feature buffer + codec
+        # upload (safe for the bf16 learned codec); float32 default matches
+        # the reference's buffering exactly
+        self.feature_buffer_dtype = str(get("feature_buffer_dtype", "float32"))
         self.conformance = bool(get("conformance", False))
         self.conformance_subsample = int(get("conformance_subsample", 9))
         self.dump_features_dir: Optional[Path] = None

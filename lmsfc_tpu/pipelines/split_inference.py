@@ -138,7 +138,14 @@ class VideoSplitInference(BasePipeline):
                     if k != "data":
                         meta.setdefault(k, v)
                 for tag, t in feats["data"].items():
-                    buffer.setdefault(tag, []).append(np.asarray(t))
+                    t = np.asarray(t)
+                    if self.feature_buffer_dtype == "float16":
+                        # halves the host buffer AND the re-upload into the
+                        # learned codec (f16 mantissa is a superset of the
+                        # bf16 the transforms compute in); opt-in —
+                        # float32 stays the default for anchor-codec parity
+                        t = t.astype(np.float16)
+                    buffer.setdefault(tag, []).append(t)
                 samples.append(sample)
 
         get = self.configs.get if hasattr(self.configs, "get") else (lambda k, d=None: d)

@@ -111,6 +111,26 @@ def test_e2e_lmsfc(tiny_coco_dataset, tmp_path):
     assert len(bin_files) == 3  # one bitstream per image
 
 
+def test_video_f16_feature_buffer(tiny_coco_dataset, tmp_path):
+    """feature_buffer_dtype=float16 halves the host buffer; the learned
+    codec output must stay within the f16-quantization envelope of the f32
+    run (bpp nearly unchanged, pipeline green end-to-end)."""
+    def conf(out, dtype):
+        c = _conf(
+            tiny_coco_dataset, out, codec_type="lmsfc",
+            codec_settings={"num_filters": 16, "latent_filters": 16,
+                            "hyper_filters": 8, "dtype": "float32"},
+        )
+        c["pipeline"]["type"] = "video"
+        c["pipeline"]["feature_buffer_dtype"] = dtype
+        return c
+
+    out32 = run(conf(tmp_path / "v32", "float32"))
+    out16 = run(conf(tmp_path / "v16", "float16"))
+    assert out16["summary"]["bpp"] > 0
+    assert out16["summary"]["bpp"] == pytest.approx(out32["summary"]["bpp"], rel=0.02)
+
+
 def test_encode_only_then_decode_only(tiny_coco_dataset, tmp_path):
     """Staged restartability: encode_only writes bitstreams; a separate
     decode_only run consumes them (ref SURVEY.md §5 coarse restartability)."""

@@ -140,10 +140,12 @@ class LMSFCCodec:
                 )
                 self._params = variables["params"]
         if not self._params_on_device:
+            from ..utils.tree import device_pin
+
             # checkpoints/driver code hand over host numpy trees; pin them to
             # the device ONCE — otherwise every jit call re-uploads the full
             # weight set (catastrophic on a slow host<->device link)
-            self._params = jax.tree_util.tree_map(jnp.asarray, self._params)
+            self._params = device_pin(self._params)
             self._params_on_device = True
         return self._params
 
@@ -154,7 +156,6 @@ class LMSFCCodec:
             self._eb_table = build_eb_cdf_table(
                 jax.tree_util.tree_map(np.asarray, self.params["entropy_bottleneck"])
             )
-            self._eb_medians = np.asarray(self.params["entropy_bottleneck"]["quantiles"])[:, 0, 1]
         return self._gc_table, self._eb_table
 
     # -------------------------------------------------------------- jit fns

@@ -43,12 +43,12 @@ def _filter2_valid(img: np.ndarray, k: np.ndarray) -> np.ndarray:
 
 
 def ssim(
-    a: np.ndarray, b: np.ndarray, data_range: float = 255.0
+    a: np.ndarray, b: np.ndarray, data_range: float = 255.0, win: int = 11
 ) -> tuple[float, float]:
-    """Mean SSIM and mean contrast-structure (cs) term, gaussian 11x11."""
+    """Mean SSIM and mean contrast-structure (cs) term, gaussian window."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    k = _gaussian_kernel()
+    k = _gaussian_kernel(win, 1.5 * win / 11)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     mu_a = _filter2_valid(a, k)
@@ -68,17 +68,47 @@ def _downsample2(img: np.ndarray) -> np.ndarray:
 
 
 def ms_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
-    """Multi-scale SSIM (Wang et al. 2003), 5 scales, product form."""
+    """Multi-scale SSIM (Wang et al. 2003), 5 scales, product form.
+
+    Images too small for the full 5-scale pyramid use as many scales as
+    fit, with the LUMINANCE-bearing full-SSIM term always taken at the
+    last computed scale and the weights renormalized — cs alone is blind
+    to brightness shifts, so the luminance term must never be dropped.
+    Images smaller than the 11px window fall back to single-scale SSIM
+    with a shrunken window."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    vals = []
-    for i, w in enumerate(_MSSSIM_WEIGHTS):
-        if min(a.shape[0], a.shape[1]) < 11:
-            # image exhausted before 5 scales: renormalize used weights
-            used = np.asarray(_MSSSIM_WEIGHTS[:i])
-            return float(np.prod([v ** (wu / used.sum()) for v, wu in zip(vals, used)]))
+    min_dim = min(a.shape[0], a.shape[1])
+    if min_dim < 11:
+        win = min_dim if min_dim % 2 else min_dim - 1  # largest odd <= dim
+        if win < 3:
+            # degenerate (1-2 px): single global SSIM window
+            c1 = (0.01 * data_range) ** 2
+            c2 = (0.03 * data_range) ** 2
+            mu_a, mu_b = a.mean(), b.mean()
+            va, vb, cov = a.var(), b.var(), ((a - mu_a) * (b - mu_b)).mean()
+            return float(
+                ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+            )
+        s, _ = ssim(a, b, data_range, win=win)
+        return float(s)
+    cs_vals = []
+    s_last = 1.0
+    n_scales = 0
+    for i in range(len(_MSSSIM_WEIGHTS)):
         s, cs = ssim(a, b, data_range)
-        vals.append(s if i == len(_MSSSIM_WEIGHTS) - 1 else max(cs, 0.0))
-        if i < len(_MSSSIM_WEIGHTS) - 1:
-            a, b = _downsample2(a), _downsample2(b)
-    return float(np.prod([v**w for v, w in zip(vals, _MSSSIM_WEIGHTS)]))
+        s_last = s
+        n_scales = i + 1
+        if i == len(_MSSSIM_WEIGHTS) - 1:
+            break
+        cs_vals.append(max(cs, 0.0))
+        a2, b2 = _downsample2(a), _downsample2(b)
+        if min(a2.shape[0], a2.shape[1]) < 11:
+            break
+        a, b = a2, b2
+    w = np.asarray(_MSSSIM_WEIGHTS[:n_scales], np.float64)
+    w = w / w.sum()
+    # cs at all but the last computed scale; full SSIM (with luminance) last
+    vals = cs_vals[: n_scales - 1] + [max(s_last, 0.0)]
+    return float(np.prod([v**wi for v, wi in zip(vals, w)]))

@@ -222,8 +222,10 @@ def cmd_metrics_eval(args) -> None:
     assert refs and len(refs) == len(tests), (len(refs), len(tests))
     rows, npix = [], 0
     for rp, tp in zip(refs, tests):
-        a = cv2.imread(str(rp)).astype(np.float64)
-        b = cv2.imread(str(tp)).astype(np.float64)
+        a, b = cv2.imread(str(rp)), cv2.imread(str(tp))
+        if a is None or b is None:
+            raise ValueError(f"unreadable image: {rp if a is None else tp}")
+        a, b = a.astype(np.float64), b.astype(np.float64)
         assert a.shape == b.shape, (rp.name, a.shape, b.shape)
         npix += a.shape[0] * a.shape[1]
         rows.append((rp.name, psnr(a, b), ms_ssim(a, b)))
@@ -249,15 +251,23 @@ def cmd_make_thumbnails(args) -> None:
     src, dst = Path(args.dir), Path(args.out or Path(args.dir) / "thumbnails")
     dst.mkdir(parents=True, exist_ok=True)
     n = 0
+    written = set()
     for p in sorted(src.iterdir()):
         if p.suffix.lower() not in {".png", ".jpg", ".jpeg", ".bmp"}:
             continue
         img = cv2.imread(str(p))
+        if img is None:
+            print(f"skipping unreadable {p.name}")
+            continue
         h, w = img.shape[:2]
         scale = args.max_size / max(h, w)
         if scale < 1.0:
             img = cv2.resize(img, (int(w * scale), int(h * scale)))
-        cv2.imwrite(str(dst / f"{p.stem}.jpg"), img)
+        out = dst / f"{p.stem}.jpg"
+        if out in written:  # x.png + x.jpg must not clobber each other
+            out = dst / f"{p.stem}{p.suffix.replace('.', '_')}.jpg"
+        cv2.imwrite(str(out), img)
+        written.add(out)
         n += 1
     print(f"{n} thumbnails in {dst}")
 
@@ -279,6 +289,8 @@ def cmd_auto(args) -> None:
     data must already be local)."""
     from ..datasets import registry
 
+    if not args.root:
+        raise SystemExit("auto: --root is required (local dataset directory)")
     registry.register(
         args.name, args.root, imgs_folder=args.imgs_folder,
         annotation_file=args.annotation_file, dataset_type=args.type,

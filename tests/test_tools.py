@@ -100,6 +100,33 @@ class TestCLI:
         out = _json.loads(capsys.readouterr().out)
         assert out["psnr"] == float("inf") and out["ms_ssim"] == pytest.approx(1.0)
 
+    def test_ms_ssim_sees_luminance_shift(self):
+        """Small images use fewer pyramid scales but must NEVER drop the
+        luminance term: a constant brightness offset has cs ~= 1 at every
+        scale and only the final SSIM term can catch it."""
+        import numpy as np
+        from lmsfc_tpu.ops.metrics import ms_ssim, ssim
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(40, 200, (96, 128)).astype(np.float64)
+        shifted = img + 30.0
+        # luminance penalty ~0.975 enters at the last scale only (per the
+        # MS-SSIM definition); a cs-only product would be 1.0 to ~1e-6
+        s, cs = ssim(img, shifted)
+        assert s < 0.98 and cs == pytest.approx(1.0, abs=0.01)
+        small_val = ms_ssim(img, shifted)
+        assert 0.9 < small_val < 0.9975
+        assert ms_ssim(img, img) == pytest.approx(1.0)
+        # full-size 5-scale path penalizes the same way
+        big = rng.uniform(40, 200, (256, 256))
+        assert 0.9 < ms_ssim(big, big + 30.0) < 0.9995
+        assert ms_ssim(big, big) == pytest.approx(1.0)
+        # tiny images: shrunken-window single-scale fallback, still sane
+        tiny = rng.uniform(0, 255, (8, 9))
+        assert ms_ssim(tiny, tiny) == pytest.approx(1.0)
+        assert ms_ssim(tiny, 255 - tiny) < 0.5
+        assert 0.0 < ms_ssim(np.full((2, 2), 100.0), np.full((2, 2), 130.0)) < 1.0
+
 
 class TestSFUGroups:
     def test_group_aggregation(self, tmp_path):

@@ -333,11 +333,17 @@ class LMSFCCodec:
             yi_c, mn_c = hyper_idx(self.params, zs_c)
             handles.append((cnt, zs_c, yi_c, sym(yc, mn_c)))
 
-        # downloads (ints only: u8 indexes + i32 symbols; the f32 latents and
-        # gaussian params never leave the device)
-        z_sym = np.concatenate([np.asarray(h[1])[: h[0]] for h in handles])
-        y_idx_all = np.concatenate([np.asarray(h[2])[: h[0]] for h in handles])
-        y_sym_all = np.concatenate([np.asarray(h[3])[: h[0]] for h in handles])
+        # downloads (ints only: u8 indexes + i16 symbols; the f32 latents and
+        # gaussian params never leave the device). ONE batched device_get —
+        # each separate host fetch pays a full link round trip (measured 2x
+        # on the relay), so all chunks' planes travel together.
+        k = len(handles)
+        flat = jax.device_get(
+            [h[1] for h in handles] + [h[2] for h in handles] + [h[3] for h in handles]
+        )
+        z_sym = np.concatenate([a[: h[0]] for a, h in zip(flat[:k], handles)])
+        y_idx_all = np.concatenate([a[: h[0]] for a, h in zip(flat[k : 2 * k], handles)])
+        y_sym_all = np.concatenate([a[: h[0]] for a, h in zip(flat[2 * k :], handles)])
         z_idx = np.broadcast_to(
             np.arange(z_shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
@@ -475,8 +481,8 @@ class LMSFCCodec:
             ).reshape(y_h, y_w, y_c)
 
         jobs = []
-        for s, cnt, yi_c, _ in chunk_state:
-            yi_np = np.asarray(yi_c)  # u8 download
+        yi_all = jax.device_get([st[2] for st in chunk_state])  # one round trip
+        for (s, cnt, _, _), yi_np in zip(chunk_state, yi_all):
             jobs.extend((s + j, yi_np[j]) for j in range(cnt))
         with ThreadPoolExecutor() as pool:
             list(pool.map(_dec_y, jobs))

@@ -276,7 +276,13 @@ class LMSFCTemporalCodec:
             y_prev = dequant(ys_t, means_t)  # closed loop on device
             handles.append((yi_t, ys_t))
 
-        z_sym = np.asarray(z_sym_dev)
+        # one batched round trip for every integer plane (separate fetches
+        # each pay full link latency — see codecs/learned.py)
+        flat = jax.device_get(
+            [z_sym_dev] + [h[0] for h in handles] + [h[1] for h in handles]
+        )
+        z_sym = flat[0]
+        yi_all, ys_all = flat[1 : 1 + n_frames], flat[1 + n_frames :]
         z_idx = np.broadcast_to(
             np.arange(z_shape[-1], dtype=np.int32), tuple(z_shape[1:])
         ).ravel()
@@ -304,9 +310,8 @@ class LMSFCTemporalCodec:
                 z_bytes = self._enc.encode_with_indexes(
                     z_sym[t].ravel(), z_idx, eb.cdfs, eb.cdf_lengths, eb.offsets
                 )
-                yi_t, ys_t = handles[t]
                 y_bytes = self._enc.encode_with_indexes(
-                    np.asarray(ys_t).ravel(), np.asarray(yi_t).ravel(),
+                    ys_all[t].ravel(), yi_all[t].ravel(),
                     gc.cdfs, gc.cdf_lengths, gc.offsets,
                 )
                 write_uints(fd, (len(z_bytes),))

@@ -48,7 +48,7 @@ from ..utils.readwrite import (
 )
 
 _MAGIC = b"LMF2"
-_VERSION = 3
+_VERSION = 4  # v4: + n_slices header byte, per-slice y streams (ChARM)
 
 
 @register_codec("lmsfc")
@@ -64,6 +64,7 @@ class LMSFCCodec:
         hyper_filters: int = 128,
         out_channels: Sequence[int] = (256, 256, 256, 256),
         num_rates: int = 0,
+        num_slices: int = 0,
         checkpoint_dir: Optional[str] = None,
         params: Optional[Dict] = None,
         seed: int = 0,
@@ -81,6 +82,7 @@ class LMSFCCodec:
         self.eval_encode = eval_encode
         self.out_channels = tuple(out_channels)
         self.num_rates = int(num_rates)
+        self.num_slices = int(num_slices)
         self.model = LMSFCv2(
             out_channels=self.out_channels,
             num_filters=num_filters,
@@ -88,6 +90,7 @@ class LMSFCCodec:
             hyper_filters=hyper_filters,
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
             num_rates=self.num_rates,
+            num_slices=self.num_slices,
         )
         # gain-unit models: qp selects the rate point within ONE checkpoint
         self.rate_idx = max(0, (qp or 1) - 1) if self.num_rates else 0
@@ -279,6 +282,92 @@ class LMSFCCodec:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
+    # ------------------------------------------------- ChARM slice programs
+    def _hyper_support_fn(self, y_hw: Tuple[int, int]):
+        """ChARM: fn(params, z_sym i16) -> support0 = concat(scales_h,
+        means_h), device-resident on both sides."""
+        key = ("hsup", y_hw)
+        if key not in self._jit_cache:
+
+            def fn(params, z_sym):
+                medians = params["entropy_bottleneck"]["quantiles"][:, 0, 1]
+                z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
+                scales_h, means_h = self.model.apply(
+                    {"params": params}, z_hat, y_hw, method=LMSFCv2.hyper_synthesis
+                )
+                return jnp.concatenate([scales_h, means_h], axis=-1)
+
+            sh = self._shardings()
+            if sh:
+                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
+                             out_shardings=sh["dp"])
+            else:
+                fn = jax.jit(fn)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _slice_idx_fn(self, i: int):
+        """ChARM: fn(params, support) -> (y_idx_i u8, means_i f32) for
+        channel slice i; shared verbatim by encoder and decoder (the
+        support concat is pure data movement, so the only float math lives
+        inside this one program — same desync-proof shape as _hyper_idx_fn)."""
+        key = ("sidx", i)
+        if key not in self._jit_cache:
+
+            def fn(params, support):
+                scales_i, means_i = self.model.apply(
+                    {"params": params}, support, i, method=LMSFCv2.slice_params
+                )
+                return GaussianConditional.build_indexes_device(scales_i), means_i
+
+            sh = self._shardings()
+            if sh:
+                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
+                             out_shardings=sh["dp"])
+            else:
+                fn = jax.jit(fn)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _deq_fn(self):
+        """fn(y_sym i16, means) -> y_hat f32 — the decoded slice BOTH sides
+        feed forward as conditioning (shared program => identical chain)."""
+        key = ("deq",)
+        if key not in self._jit_cache:
+
+            def fn(y_sym, means):
+                return y_sym.astype(jnp.float32) + means
+
+            sh = self._shardings()
+            if sh:
+                fn = jax.jit(fn, in_shardings=(sh["dp"], sh["dp"]),
+                             out_shardings=sh["dp"])
+            else:
+                fn = jax.jit(fn)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _syn_hat_fn(self, shapes_hw: Tuple[Tuple[int, int], ...], rate_idx: int):
+        """ChARM decode tail: fn(params, y_hat f32) -> NCHW recon levels."""
+        key = ("synh", shapes_hw, rate_idx)
+        if key not in self._jit_cache:
+
+            def fn(params, y_hat):
+                recon = self.model.apply(
+                    {"params": params}, y_hat, shapes_hw, rate_idx,
+                    method=LMSFCv2.synthesis,
+                )
+                return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
+
+            sh = self._shardings()
+            if sh:
+                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
+                             out_shardings=sh["dp"])
+            else:
+                fn = jax.jit(fn)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
     # --------------------------------------------------------------- encode
     def encode(
         self,
@@ -315,9 +404,13 @@ class LMSFCCodec:
         # dispatch ALL device work first (jax is async): analysis, gaussian-
         # param/index derivation, and y quantization pipeline across chunks
         # while earlier chunks' symbol downloads and host rANS proceed.
+        # Plain mode codes y as one stream; ChARM (num_slices>0) codes one
+        # stream per channel slice, each conditioned on the decoded previous
+        # slices (the conditioning chain runs on device via _deq_fn).
         sym = self._sym_fn()
+        n_sl = max(1, self.num_slices)
         hyper_idx = None
-        handles = []  # (cnt, z_sym_dev, y_idx_dev, y_sym_dev)
+        handles = []  # (cnt, z_sym_dev, [y_idx_dev]*n_sl, [y_sym_dev]*n_sl)
         for s, cnt in self._chunk_iter(n_frames, chunk):
             part = [f[s : s + cnt] for f in feats]
             if cnt < chunk:
@@ -329,9 +422,28 @@ class LMSFCCodec:
             if hyper_idx is None:
                 y_shape = yc.shape  # metadata only — no device sync
                 z_shape = zs_c.shape
-                hyper_idx = self._hyper_idx_fn((y_shape[1], y_shape[2]))
-            yi_c, mn_c = hyper_idx(self.params, zs_c)
-            handles.append((cnt, zs_c, yi_c, sym(yc, mn_c)))
+                y_hw = (y_shape[1], y_shape[2])
+                hyper_idx = (
+                    self._hyper_support_fn(y_hw)
+                    if self.num_slices
+                    else self._hyper_idx_fn(y_hw)
+                )
+            if self.num_slices:
+                support0 = hyper_idx(self.params, zs_c)
+                cs = self.model.latent_filters // self.num_slices
+                deq = self._deq_fn()
+                y_hat_parts, yis, yss = [], [], []
+                for i in range(self.num_slices):
+                    sup = jnp.concatenate([support0] + y_hat_parts, axis=-1)
+                    yi_i, mn_i = self._slice_idx_fn(i)(self.params, sup)
+                    ys_i = sym(yc[..., i * cs : (i + 1) * cs], mn_i)
+                    y_hat_parts.append(deq(ys_i, mn_i))
+                    yis.append(yi_i)
+                    yss.append(ys_i)
+                handles.append((cnt, zs_c, yis, yss))
+            else:
+                yi_c, mn_c = hyper_idx(self.params, zs_c)
+                handles.append((cnt, zs_c, [yi_c], [sym(yc, mn_c)]))
 
         # downloads (ints only: u8 indexes + i16 symbols; the f32 latents and
         # gaussian params never leave the device). ONE batched device_get —
@@ -339,11 +451,26 @@ class LMSFCCodec:
         # on the relay), so all chunks' planes travel together.
         k = len(handles)
         flat = jax.device_get(
-            [h[1] for h in handles] + [h[2] for h in handles] + [h[3] for h in handles]
+            [h[1] for h in handles]
+            + [yi for h in handles for yi in h[2]]
+            + [ys for h in handles for ys in h[3]]
         )
         z_sym = np.concatenate([a[: h[0]] for a, h in zip(flat[:k], handles)])
-        y_idx_all = np.concatenate([a[: h[0]] for a, h in zip(flat[k : 2 * k], handles)])
-        y_sym_all = np.concatenate([a[: h[0]] for a, h in zip(flat[2 * k :], handles)])
+        yi_flat = flat[k : k + k * n_sl]
+        ys_flat = flat[k + k * n_sl :]
+        # per-slice, frames concatenated across chunks (pad rows trimmed)
+        y_idx_sl = [
+            np.concatenate(
+                [yi_flat[j * n_sl + i][: handles[j][0]] for j in range(k)]
+            )
+            for i in range(n_sl)
+        ]
+        y_sym_sl = [
+            np.concatenate(
+                [ys_flat[j * n_sl + i][: handles[j][0]] for j in range(k)]
+            )
+            for i in range(n_sl)
+        ]
         z_idx = np.broadcast_to(
             np.arange(z_shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
@@ -357,7 +484,9 @@ class LMSFCCodec:
         with open(path, "wb") as fd:
             fd.write(_MAGIC)
             write_uchars(
-                fd, (_VERSION, len(names), self.chunk_frames, self.rate_idx)
+                fd,
+                (_VERSION, len(names), self.chunk_frames, self.rate_idx,
+                 self.num_slices),
             )
             write_uints(fd, (n_frames,))
             for name, (c, h, w) in zip(names, level_shapes):
@@ -379,20 +508,26 @@ class LMSFCCodec:
                     z_sym[f_idx].ravel(), z_idx.ravel(),
                     eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets,
                 )
-                y_bytes = self._enc.encode_with_indexes(
-                    y_sym_all[f_idx].ravel(), y_idx_all[f_idx].ravel(),
-                    gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
-                )
-                return z_bytes, y_bytes
+                y_streams = [
+                    self._enc.encode_with_indexes(
+                        y_sym_sl[i][f_idx].ravel(), y_idx_sl[i][f_idx].ravel(),
+                        gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
+                    )
+                    for i in range(n_sl)
+                ]
+                return z_bytes, y_streams
 
             with ThreadPoolExecutor() as pool:
                 coded = list(pool.map(_code_frame, range(n_frames)))
-            for z_bytes, y_bytes in coded:
+            for z_bytes, y_streams in coded:
                 write_uints(fd, (len(z_bytes),))
                 write_bytes(fd, z_bytes)
-                write_uints(fd, (len(y_bytes),))
-                write_bytes(fd, y_bytes)
-                byte_sizes.append(len(z_bytes) + len(y_bytes) + 8)
+                total_y = 0
+                for yb in y_streams:
+                    write_uints(fd, (len(yb),))
+                    write_bytes(fd, yb)
+                    total_y += len(yb) + 4
+                byte_sizes.append(len(z_bytes) + total_y + 4)
 
         # amortize header over frames (reference amortizes its header too)
         per_frame_header = header_bytes / n_frames
@@ -414,14 +549,20 @@ class LMSFCCodec:
         with open(path, "rb") as fd:
             magic = fd.read(4)
             assert magic == _MAGIC, f"bad magic {magic!r}"
-            version, n_levels, chunk_in_stream, rate_idx = read_uchars(fd, 4)
+            version, n_levels, chunk_in_stream, rate_idx, n_slices = read_uchars(fd, 5)
             assert version == _VERSION
             (n_frames,) = read_uints(fd, 1)
             # the gaussian-param program must match the encoder's chunking;
-            # both ride in the header and stay LOCAL to this call — decoding
-            # a stream must not reconfigure the codec instance
+            # chunk/rate/slices all ride in the header and stay LOCAL to this
+            # call — decoding a stream must not reconfigure the codec instance
             chunk = max(1, int(chunk_in_stream))
             rate_idx = int(rate_idx) if self.num_rates else 0
+            n_slices = int(n_slices)
+            assert n_slices == self.num_slices, (
+                f"stream coded with num_slices={n_slices}, codec has "
+                f"{self.num_slices} (slice networks are learned params)"
+            )
+            n_sl = max(1, n_slices)
             names, level_shapes = [], []
             for _ in range(n_levels):
                 (name_len,) = read_uchars(fd, 1)
@@ -434,16 +575,17 @@ class LMSFCCodec:
             z_idx = np.broadcast_to(
                 np.arange(z_c, dtype=np.int32), (z_h, z_w, z_c)
             ).ravel()
-            hyper_idx = self._hyper_idx_fn((y_h, y_w))
             shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
-            synthesis = self._syn_fn(shapes_hw, rate_idx)
 
             z_streams, y_streams = [], []
             for _ in range(n_frames):
                 (z_len,) = read_uints(fd, 1)
                 z_streams.append(read_bytes(fd, z_len))
-                (y_len,) = read_uints(fd, 1)
-                y_streams.append(read_bytes(fd, y_len))
+                frame_slices = []
+                for _ in range(n_sl):
+                    (y_len,) = read_uints(fd, 1)
+                    frame_slices.append(read_bytes(fd, y_len))
+                y_streams.append(frame_slices)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -458,6 +600,15 @@ class LMSFCCodec:
 
         with ThreadPoolExecutor() as pool:
             list(pool.map(_dec_z, range(n_frames)))
+
+        if n_slices:
+            return self._decode_charm(
+                z_sym_all, y_streams, names, shapes_hw, (y_h, y_w, y_c),
+                n_frames, chunk, rate_idx, n_slices,
+            )
+
+        hyper_idx = self._hyper_idx_fn((y_h, y_w))
+        synthesis = self._syn_fn(shapes_hw, rate_idx)
 
         # phase 1 (device): derive coding state per chunk through the SAME
         # jitted program the encoder ran — y_idx downloads as u8, the means
@@ -476,7 +627,7 @@ class LMSFCCodec:
         def _dec_y(args):
             i, y_idx_frame = args
             y_sym_all[i] = self._dec.decode_with_indexes(
-                y_streams[i], np.asarray(y_idx_frame).ravel(),
+                y_streams[i][0], np.asarray(y_idx_frame).ravel(),
                 gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
             ).reshape(y_h, y_w, y_c)
 
@@ -507,6 +658,56 @@ class LMSFCCodec:
         # force execution with a scalar readback per level (the axon relay's
         # block_until_ready can return early; a 4-byte index readback is the
         # reliable barrier) — timing stays honest, tensors stay on device
+        for r in merged:
+            _ = float(r[0, 0, 0, 0])
+        return {"data": dict(zip(names, merged))}
+
+    def _decode_charm(
+        self, z_sym_all, y_streams, names, shapes_hw, y_shape, n_frames,
+        chunk, rate_idx, n_slices,
+    ):
+        """ChARM decode: per chunk, walk the channel slices sequentially —
+        slice i's indexes come from the SAME _slice_idx_fn program the
+        encoder ran on the same support (hyper + decoded slices [0,i)), so
+        the streams stay in sync; per-slice host sync is inherent (indexes
+        must exist before the slice can be entropy-decoded)."""
+        y_h, y_w, y_c = y_shape
+        cs = y_c // n_slices
+        gc_table, _ = self._tables()
+        hyper_support = self._hyper_support_fn((y_h, y_w))
+        deq = self._deq_fn()
+        synthesis = self._syn_hat_fn(shapes_hw, rate_idx)
+
+        recon_parts: List[List[jax.Array]] = []
+        for s, cnt in self._chunk_iter(n_frames, chunk):
+            part = z_sym_all[s : s + cnt]
+            if cnt < chunk:
+                part = np.concatenate([part, np.repeat(part[-1:], chunk - cnt, 0)])
+            support0 = hyper_support(self.params, jnp.asarray(part))
+            y_hat_parts = []
+            for i in range(n_slices):
+                sup = jnp.concatenate([support0] + y_hat_parts, axis=-1)
+                yi_i, mn_i = self._slice_idx_fn(i)(self.params, sup)
+                yi_np = np.asarray(yi_i)
+                ys_np = np.empty((chunk, y_h, y_w, cs), np.int16)
+                for j in range(cnt):
+                    ys_np[j] = self._dec.decode_with_indexes(
+                        y_streams[s + j][i], yi_np[j].ravel(),
+                        gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
+                    ).reshape(y_h, y_w, cs)
+                for j in range(cnt, chunk):  # pad rows mirror encoder's
+                    ys_np[j] = ys_np[cnt - 1]
+                y_hat_parts.append(deq(jnp.asarray(ys_np), mn_i))
+            y_hat = jnp.concatenate(y_hat_parts, axis=-1)
+            recon = synthesis(self.params, y_hat)
+            recon_parts.append([r[:cnt] for r in recon])
+        if len(recon_parts) == 1:
+            merged = recon_parts[0]
+        else:
+            merged = [
+                jnp.concatenate([p[i] for p in recon_parts], axis=0)
+                for i in range(len(names))
+            ]
         for r in merged:
             _ = float(r[0, 0, 0, 0])
         return {"data": dict(zip(names, merged))}

@@ -128,6 +128,30 @@ class DRNet(nn.Module):
         return recons  # type: ignore[return-value]
 
 
+class SliceNet(nn.Module):
+    """Entropy-parameter network for one channel slice (ChARM, Minnen &
+    Singh 2020, arXiv:2007.08739): maps the hyperprior support concatenated
+    with all PREVIOUSLY decoded slices to this slice's (scales, means).
+    Channel-autoregression is TPU-friendly: the sequence is only num_slices
+    long and every step is a full-spatial conv stack on the MXU (unlike
+    spatial autoregression, which serializes per pixel)."""
+
+    slice_ch: int
+    mid: int = 96
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, support: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        x = ConvBlock(self.mid, 3, 1, act=nn.relu, dtype=self.dtype, name="s0")(
+            support.astype(self.dtype)
+        )
+        x = ConvBlock(self.mid, 3, 1, act=nn.relu, dtype=self.dtype, name="s1")(x)
+        out = ConvBlock(2 * self.slice_ch, 3, 1, dtype=self.dtype, name="to_params")(x)
+        out = out.astype(jnp.float32)
+        scales, means = jnp.split(out, 2, axis=-1)
+        return scales, means
+
+
 class LMSFCv2(nn.Module):
     """Full codec: forward pass returns reconstructions + likelihoods.
 
@@ -140,6 +164,13 @@ class LMSFCv2(nn.Module):
     'multi-rate-point training' — this halves the training bill). rate_idx
     selects the operating point; it can be a traced scalar during training
     (sampled per step) and rides the bitstream header at coding time.
+
+    num_slices > 0 enables a CHANNEL-AUTOREGRESSIVE entropy model (ChARM):
+    the latent is split into num_slices channel groups; each group's
+    gaussian params condition on the hyperprior AND all previously decoded
+    groups, capturing cross-channel correlation the factorized-over-space
+    hyperprior misses (typically 5-10% rate at equal distortion). Beyond
+    the reference, which stops at the mean-scale hyperprior.
     """
 
     out_channels: Sequence[int] = (256, 256, 256, 256)
@@ -149,6 +180,7 @@ class LMSFCv2(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # rematerialize transforms (trade FLOPs for HBM)
     num_rates: int = 0  # 0 = single-rate (no gain units)
+    num_slices: int = 0  # 0 = plain hyperprior; >0 = ChARM channel slices
 
     def setup(self):
         fenet_cls = nn.remat(FENet) if self.remat else FENet
@@ -166,6 +198,15 @@ class LMSFCv2(nn.Module):
             self.inv_gains = self.param(
                 "inv_gains", ones, (self.num_rates, self.latent_filters)
             )
+        if self.num_slices > 0:
+            assert self.latent_filters % self.num_slices == 0, (
+                self.latent_filters, self.num_slices,
+            )
+            cs = self.latent_filters // self.num_slices
+            self.slice_nets = [
+                SliceNet(cs, dtype=self.dtype, name=f"slice{i}")
+                for i in range(self.num_slices)
+            ]
 
     def _gain(self, rate_idx) -> jax.Array:
         return jnp.abs(self.gains[rate_idx])[None, None, None, :]
@@ -187,10 +228,16 @@ class LMSFCv2(nn.Module):
         else:
             rng_z = rng_y = None
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training, rng=rng_z)
-        scales, means = self.h_s(z_hat, y.shape[1:3])
-        y_hat, y_likelihoods = self.gaussian(
-            y, scales, means, training=training, rng=rng_y
-        )
+        scales_h, means_h = self.h_s(z_hat, y.shape[1:3])
+        if self.num_slices > 0:
+            y_hat, y_likelihoods, scales, means = self._charm_code(
+                y, scales_h, means_h, training, rng_y
+            )
+        else:
+            scales, means = scales_h, means_h
+            y_hat, y_likelihoods = self.gaussian(
+                y, scales, means, training=training, rng=rng_y
+            )
         if self.num_rates > 0:
             y_hat = y_hat * self._inv_gain(rate_idx)
         shapes_hw = [f.shape[1:3] for f in features]
@@ -201,6 +248,35 @@ class LMSFCv2(nn.Module):
             "latents": {"y": y, "y_hat": y_hat, "z": z, "z_hat": z_hat,
                         "scales": scales, "means": means},
         }
+
+    def _charm_code(self, y, scales_h, means_h, training, rng_y):
+        """Sequential channel-slice coding: slice i's gaussian params
+        condition on the hyper support and slices [0, i)."""
+        cs = self.latent_filters // self.num_slices
+        support0 = jnp.concatenate([scales_h, means_h], axis=-1)
+        keys = (
+            jax.random.split(rng_y, self.num_slices)
+            if training
+            else [None] * self.num_slices
+        )
+        y_hat_parts, lk_parts, sc_parts, mn_parts = [], [], [], []
+        for i in range(self.num_slices):
+            sup = jnp.concatenate([support0] + y_hat_parts, axis=-1)
+            sc_i, mn_i = self.slice_nets[i](sup)
+            y_i = y[..., i * cs : (i + 1) * cs]
+            y_hat_i, lk_i = self.gaussian(
+                y_i, sc_i, mn_i, training=training, rng=keys[i]
+            )
+            y_hat_parts.append(y_hat_i)
+            lk_parts.append(lk_i)
+            sc_parts.append(sc_i)
+            mn_parts.append(mn_i)
+        return (
+            jnp.concatenate(y_hat_parts, axis=-1),
+            jnp.concatenate(lk_parts, axis=-1),
+            jnp.concatenate(sc_parts, axis=-1),
+            jnp.concatenate(mn_parts, axis=-1),
+        )
 
     def aux_loss(self) -> jax.Array:
         return self.entropy_bottleneck.aux_loss()
@@ -234,3 +310,8 @@ class LMSFCv2(nn.Module):
 
     def hyper_synthesis(self, z_hat: jax.Array, y_hw: Tuple[int, int]):
         return self.h_s(z_hat, y_hw)
+
+    def slice_params(self, support: jax.Array, slice_idx: int):
+        """ChARM codec support: gaussian params for one channel slice from
+        concat([scales_h, means_h, y_hat_slices[<slice_idx]])."""
+        return self.slice_nets[slice_idx](support)

@@ -56,6 +56,7 @@ def train_rate_point(
         model = LMSFCv2(
             remat=t.get("remat", False),
             num_rates=t.get("num_rates", 0),
+            num_slices=t.get("num_slices", 0),
             **common,
         )
     batch = t.get("batch", 8)

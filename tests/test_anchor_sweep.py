@@ -106,6 +106,11 @@ def test_sfu_vtm_sweep_to_cttc(tiny_sfu_tree, stub_bins, tmp_path):
         "DECODER_EXE": enc,
         "PARCAT_EXE": parcat,
         "EXTRA_PARAMS": (
+            # misc.device=cpu is LOAD-BEARING: without it the subprocesses
+            # inherit the example config's device=tpu and silently run on
+            # the axon relay (slow, and hangs the suite if the relay is
+            # wedged) — the stub-codec CI sweep must be hermetic
+            "misc.device=cpu "
             "vision_model.faster_rcnn_R_50_FPN_3x.resize_input=false "
             "codec.settings.min_max_override=[-40.0,40.0]"
         ),

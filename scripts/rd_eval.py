@@ -76,6 +76,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 384))
     ap.add_argument("--out", default="runs/rd_r02")
+    ap.add_argument("--num-slices", type=int, default=0,
+                    help="ChARM slices the checkpoints were trained with")
     args = ap.parse_args()
 
     from lmsfc_tpu.codecs.learned import LMSFCCodec
@@ -91,7 +93,7 @@ def main() -> None:
 
     rows, curves = [], {"single": [], "joint": []}
     common = dict(num_filters=192, latent_filters=192, hyper_filters=128,
-                  dtype="bfloat16", chunk_frames=8)
+                  dtype="bfloat16", chunk_frames=8, num_slices=args.num_slices)
     root = Path(args.ckpt_root)
 
     for qi, lam in enumerate(LMBDAS, start=1):

@@ -42,8 +42,13 @@ def _enable_compilation_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # older/newer jax without these knobs: best-effort
-        pass
+    except Exception as e:  # older/newer jax without these knobs
+        import warnings
+
+        warnings.warn(
+            f"JAX_COMPILATION_CACHE_DIR={cache_dir} requested but the "
+            f"compilation cache could not be enabled: {e!r}"
+        )
 
 
 _enable_compilation_cache()

@@ -12,13 +12,16 @@ same chip, so the reference's decode->CPU->GPU round trip has no analogue
 here. Host f32 feature inputs to a bf16 model ship as f16 (half the wire
 bytes, mantissa superset of bf16).
 
-Bitstream layout (big-endian, via utils.readwrite — same writer family as
-the reference's anchor headers, codecs/encdec_utils/readwrite.py:50-91):
+Bitstream layout v4 (big-endian, via utils.readwrite — same writer family
+as the reference's anchor headers, codecs/encdec_utils/readwrite.py:50-91):
 
-  magic 'LMF2' | version u8 | n_levels u8 | n_frames u32
+  magic 'LMF2' | version u8 | n_levels u8 | chunk_frames u8 | rate_idx u8
+  | n_slices u8 | n_frames u32
   per level: name_len u8 | name ascii | C u32 | H u32 | W u32
   y: H u32 | W u32 | C u32       z: H u32 | W u32 | C u32
-  per frame: z_len u32 | z_bytes | y_len u32 | y_bytes
+  per frame: z_len u32 | z_bytes | then max(1, n_slices) times:
+             y_len u32 | y_bytes   (one stream per ChARM channel slice;
+             a single stream when n_slices == 0)
 
 Registered as codec "lmsfc" with the standard encode/decode contract
 (ref codecs/base.py:61-119), so every pipeline runs unchanged.
@@ -171,35 +174,57 @@ class LMSFCCodec:
         dp = NamedSharding(self.mesh, P("dp"))
         return {"repl": repl, "dp": dp}
 
+    def _cached_jit(self, key, fn, arity: int, repl_args: int = 1):
+        """jit with the codec's standard mesh layout: the first repl_args
+        arguments (the param tree) replicated, the rest frame-sharded on
+        dp, outputs dp — one place for the sharding boilerplate."""
+        if key not in self._jit_cache:
+            sh = self._shardings()
+            if sh:
+                in_sh = (sh["repl"],) * repl_args + (sh["dp"],) * (arity - repl_args)
+                fn = jax.jit(fn, in_shardings=in_sh, out_shardings=sh["dp"])
+            else:
+                fn = jax.jit(fn)
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def _hyper_params(self, params, z_sym, y_hw):
+        """Shared prologue of every hyper-derived program: coded z symbols
+        -> (scales_h, means_h). Single source so encoder- and decoder-side
+        builders can never drift in the z_hat/median handling."""
+        medians = params["entropy_bottleneck"]["quantiles"][:, 0, 1]
+        z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
+        return self.model.apply(
+            {"params": params}, z_hat, y_hw, method=LMSFCv2.hyper_synthesis
+        )
+
+    def _syn_nchw(self, params, y_hat, shapes_hw, rate_idx):
+        """Shared synthesis tail: y_hat -> device-resident NCHW levels."""
+        recon = self.model.apply(
+            {"params": params}, y_hat, shapes_hw, rate_idx,
+            method=LMSFCv2.synthesis,
+        )
+        return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
+
     def _analysis_fn(self, shapes: Tuple, rate_idx: int):
         """fn(params, features) -> (y f32, z_sym i32), both device-resident.
 
         z is quantized ON DEVICE (round around the EB medians): the host
         only ever sees integer symbols, never the f32 latents."""
-        key = ("analysis", shapes, rate_idx)
-        if key not in self._jit_cache:
+        def fn(params, features):
+            y, z = self.model.apply(
+                {"params": params}, list(features), rate_idx,
+                method=LMSFCv2.analysis_latents,
+            )
+            medians = params["entropy_bottleneck"]["quantiles"][:, 0, 1]
+            # i16 wire: latent symbols are a few hundred at most (the
+            # clip keeps a pathological activation from wrapping)
+            z_sym = jnp.clip(
+                jnp.round(z - medians[None, None, None, :]), -32768, 32767
+            ).astype(jnp.int16)
+            return y, z_sym
 
-            def fn(params, features):
-                y, z = self.model.apply(
-                    {"params": params}, list(features), rate_idx,
-                    method=LMSFCv2.analysis_latents,
-                )
-                medians = params["entropy_bottleneck"]["quantiles"][:, 0, 1]
-                # i16 wire: latent symbols are a few hundred at most (the
-                # clip keeps a pathological activation from wrapping)
-                z_sym = jnp.clip(
-                    jnp.round(z - medians[None, None, None, :]), -32768, 32767
-                ).astype(jnp.int16)
-                return y, z_sym
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("analysis", shapes, rate_idx), fn, arity=2)
 
     @staticmethod
     def _chunk_iter(n_frames: int, chunk: int):
@@ -218,43 +243,18 @@ class LMSFCCodec:
         this jit guarantees encoder and decoder see identical ints — they are
         integer functions of the same program's floats, so no 1-ulp fusion
         drift can desync the rANS stream (ADVICE r1 #2)."""
-        key = ("hidx", y_hw)
-        if key not in self._jit_cache:
+        def fn(params, z_sym):
+            scales, means = self._hyper_params(params, z_sym, y_hw)
+            return GaussianConditional.build_indexes_device(scales), means
 
-            def fn(params, z_sym):
-                medians = params["entropy_bottleneck"]["quantiles"][:, 0, 1]
-                z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
-                scales, means = self.model.apply(
-                    {"params": params}, z_hat, y_hw, method=LMSFCv2.hyper_synthesis
-                )
-                y_idx = GaussianConditional.build_indexes_device(scales)
-                return y_idx, means
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("hidx", y_hw), fn, arity=2)
 
     def _sym_fn(self):
         """fn(y f32, means f32) -> y_sym i32 (encoder-only quantization)."""
-        key = ("sym",)
-        if key not in self._jit_cache:
+        def fn(y, means):
+            return jnp.clip(jnp.round(y - means), -32768, 32767).astype(jnp.int16)
 
-            def fn(y, means):
-                return jnp.clip(jnp.round(y - means), -32768, 32767).astype(jnp.int16)
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["dp"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("sym",), fn, arity=2, repl_args=0)
 
     def _syn_fn(self, shapes_hw: Tuple[Tuple[int, int], ...], rate_idx: int):
         """fn(params, y_sym i32, means f32) -> list of NCHW f32 recon levels.
@@ -262,111 +262,49 @@ class LMSFCCodec:
         Dequantization (y_hat = y_sym + means) and the NHWC->NCHW transpose
         happen on device: the host uploads integer symbols and the pyramid
         comes back ready for NN-Part2 without any host-side passes."""
-        key = ("syn", shapes_hw, rate_idx)
-        if key not in self._jit_cache:
+        def fn(params, y_sym, means):
+            y_hat = y_sym.astype(jnp.float32) + means
+            return self._syn_nchw(params, y_hat, shapes_hw, rate_idx)
 
-            def fn(params, y_sym, means):
-                y_hat = y_sym.astype(jnp.float32) + means
-                recon = self.model.apply(
-                    {"params": params}, y_hat, shapes_hw, rate_idx,
-                    method=LMSFCv2.synthesis,
-                )
-                return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("syn", shapes_hw, rate_idx), fn, arity=3)
 
     # ------------------------------------------------- ChARM slice programs
     def _hyper_support_fn(self, y_hw: Tuple[int, int]):
         """ChARM: fn(params, z_sym i16) -> support0 = concat(scales_h,
         means_h), device-resident on both sides."""
-        key = ("hsup", y_hw)
-        if key not in self._jit_cache:
+        def fn(params, z_sym):
+            scales_h, means_h = self._hyper_params(params, z_sym, y_hw)
+            return jnp.concatenate([scales_h, means_h], axis=-1)
 
-            def fn(params, z_sym):
-                medians = params["entropy_bottleneck"]["quantiles"][:, 0, 1]
-                z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
-                scales_h, means_h = self.model.apply(
-                    {"params": params}, z_hat, y_hw, method=LMSFCv2.hyper_synthesis
-                )
-                return jnp.concatenate([scales_h, means_h], axis=-1)
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("hsup", y_hw), fn, arity=2)
 
     def _slice_idx_fn(self, i: int):
         """ChARM: fn(params, support) -> (y_idx_i u8, means_i f32) for
         channel slice i; shared verbatim by encoder and decoder (the
         support concat is pure data movement, so the only float math lives
         inside this one program — same desync-proof shape as _hyper_idx_fn)."""
-        key = ("sidx", i)
-        if key not in self._jit_cache:
+        def fn(params, support):
+            scales_i, means_i = self.model.apply(
+                {"params": params}, support, i, method=LMSFCv2.slice_params
+            )
+            return GaussianConditional.build_indexes_device(scales_i), means_i
 
-            def fn(params, support):
-                scales_i, means_i = self.model.apply(
-                    {"params": params}, support, i, method=LMSFCv2.slice_params
-                )
-                return GaussianConditional.build_indexes_device(scales_i), means_i
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("sidx", i), fn, arity=2)
 
     def _deq_fn(self):
         """fn(y_sym i16, means) -> y_hat f32 — the decoded slice BOTH sides
         feed forward as conditioning (shared program => identical chain)."""
-        key = ("deq",)
-        if key not in self._jit_cache:
+        def fn(y_sym, means):
+            return y_sym.astype(jnp.float32) + means
 
-            def fn(y_sym, means):
-                return y_sym.astype(jnp.float32) + means
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["dp"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("deq",), fn, arity=2, repl_args=0)
 
     def _syn_hat_fn(self, shapes_hw: Tuple[Tuple[int, int], ...], rate_idx: int):
         """ChARM decode tail: fn(params, y_hat f32) -> NCHW recon levels."""
-        key = ("synh", shapes_hw, rate_idx)
-        if key not in self._jit_cache:
+        def fn(params, y_hat):
+            return self._syn_nchw(params, y_hat, shapes_hw, rate_idx)
 
-            def fn(params, y_hat):
-                recon = self.model.apply(
-                    {"params": params}, y_hat, shapes_hw, rate_idx,
-                    method=LMSFCv2.synthesis,
-                )
-                return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
-
-            sh = self._shardings()
-            if sh:
-                fn = jax.jit(fn, in_shardings=(sh["repl"], sh["dp"]),
-                             out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
+        return self._cached_jit(("synh", shapes_hw, rate_idx), fn, arity=2)
 
     # --------------------------------------------------------------- encode
     def encode(

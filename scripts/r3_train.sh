@@ -3,7 +3,7 @@
 # dumps (the r2 dumps were session-local artifacts). Produces checkpoints
 # consumed by scripts/rd_eval.py --num-slices 4 for the RD_r03 artifact and
 # scripts/export_bench_params.py for the bench asset.
-set -e
+set -e -o pipefail  # pipefail: `| tee` must not mask a training failure
 cd "$(dirname "$0")/.."
 
 STEPS=${STEPS:-30000}
@@ -24,3 +24,5 @@ stdbuf -oL python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml $COMMON 
   training.steps=$STEPS \
   training.ckpt_root=checkpoints/r3_charm 2>&1 | tee checkpoints_r3_train.log
 echo "=== DONE ==="
+echo "next: python scripts/rd_eval.py --ckpt-root checkpoints/r3_charm \\"
+echo "        --joint-dir joint --num-slices 4 --out runs/rd_r03 --report RD_r03.json"

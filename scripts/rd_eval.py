@@ -73,11 +73,19 @@ def eval_point(codec, data, n_pixels, out_dir: Path, tag: str):
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt-root", default="checkpoints")
+    ap.add_argument("--single-dir", default="r2_single",
+                    help="per-lambda checkpoint dirs under ckpt-root "
+                         "(expects <single-dir>/q{i}_lmbda{l})")
+    ap.add_argument("--joint-dir", default="r2_joint/joint",
+                    help="gain-unit joint checkpoint under ckpt-root")
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 384))
     ap.add_argument("--out", default="runs/rd_r02")
+    ap.add_argument("--report", default="RD_r02.json",
+                    help="summary json path (e.g. RD_r03.json for round 3)")
     ap.add_argument("--num-slices", type=int, default=0,
-                    help="ChARM slices the checkpoints were trained with")
+                    help="ChARM slices of the JOINT checkpoint (the single-"
+                         "lambda baselines are plain hyperprior models)")
     args = ap.parse_args()
 
     from lmsfc_tpu.codecs.learned import LMSFCCodec
@@ -93,11 +101,11 @@ def main() -> None:
 
     rows, curves = [], {"single": [], "joint": []}
     common = dict(num_filters=192, latent_filters=192, hyper_filters=128,
-                  dtype="bfloat16", chunk_frames=8, num_slices=args.num_slices)
+                  dtype="bfloat16", chunk_frames=8)
     root = Path(args.ckpt_root)
 
     for qi, lam in enumerate(LMBDAS, start=1):
-        ckpt = root / "r2_single" / f"q{qi}_lmbda{lam}"
+        ckpt = root / args.single_dir / f"q{qi}_lmbda{lam}"
         if not ckpt.exists():
             print(f"skip single q{qi}: {ckpt} missing")
             continue
@@ -108,17 +116,23 @@ def main() -> None:
         print(f"single q{qi}: bpp={m['bpp']:.4f} psnr={m['feature_psnr_db']:.2f}dB",
               flush=True)
 
-    joint_ckpt = root / "r2_joint" / "joint"
+    joint_ckpt = root / args.joint_dir
     if joint_ckpt.exists():
         for qi in range(1, len(LMBDAS) + 1):
             codec = LMSFCCodec(qp=qi, checkpoint_dir=str(joint_ckpt),
-                               num_rates=len(LMBDAS), **common)
+                               num_rates=len(LMBDAS),
+                               num_slices=args.num_slices, **common)
             m = eval_point(codec, data, n_pixels, out_dir, f"joint_q{qi}")
             rows.append({"model": "joint", "qp": qi, "lambda": LMBDAS[qi - 1], **m})
             curves["joint"].append((m["bpp"], m["feature_psnr_db"]))
             print(f"joint  q{qi}: bpp={m['bpp']:.4f} psnr={m['feature_psnr_db']:.2f}dB",
                   flush=True)
 
+    if not rows:
+        raise SystemExit(
+            f"no checkpoints found under {root} "
+            f"(looked for {args.single_dir}/q*_lmbda* and {args.joint_dir})"
+        )
     with open(out_dir / "summary.csv", "w", newline="") as f:
         wcsv = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         wcsv.writeheader()
@@ -139,8 +153,8 @@ def main() -> None:
             print(f"BD-rate undefined: {e}")
         mono = all(np.diff([c[1] for c in sorted(curves["single"])]) > 0)
         report["single_curve_monotone"] = bool(mono)
-    Path("RD_r02.json").write_text(json.dumps(report, indent=2))
-    print(f"wrote {out_dir/'summary.csv'} and RD_r02.json")
+    Path(args.report).write_text(json.dumps(report, indent=2))
+    print(f"wrote {out_dir/'summary.csv'} and {args.report}")
 
 
 if __name__ == "__main__":

@@ -2,13 +2,22 @@
 
 Conditional latent coding for video feature sequences (BASELINE.json config:
 temporal feature coding on TVD/HiEve): frame-parallel transforms + a
-sequential closed-loop entropy stage — each frame's gaussian params combine
-the hyperprior with a predictor on the previous DECODED latent, resetting at
+closed-loop entropy stage — each frame's gaussian params combine the
+hyperprior with a predictor on the previous DECODED latent, resetting at
 every intra period (GOP-aligned with the anchors).
 
-Bitstream 'LMFT': header (levels/shapes/y/z geometry/intra_period) +
+GOP-BATCHED prediction: frames at the same offset within different GOPs are
+independent (the chain resets at each intra frame), so the per-offset
+predictor step runs as ONE device program over a GOP-sized batch — the
+sequential depth is intra_period, not sequence length (8 steps for a
+64-frame sequence at IP=8 instead of 64). The device-batched analogue of
+the reference's GOP-parallel anchor encoding (ref std_codecs.py:204-255).
+
+Bitstream 'LMFT' v2: header (levels/shapes/y/z geometry/intra_period) +
 per-frame z and y rANS streams. Encoder and decoder run the identical
-jitted batch-1 predictor program, so rANS stays in sync.
+jitted GOP-batched predictor program, so rANS stays in sync (v1 streams
+were coded with the batch-1 program and are refused rather than risking a
+1-ulp cross-program drift).
 """
 
 from __future__ import annotations
@@ -35,7 +44,7 @@ from ..utils.readwrite import (
 )
 
 _MAGIC = b"LMFT"
-_VERSION = 1
+_VERSION = 2  # v2: GOP-batched predictor program (see module docstring)
 
 
 @register_codec("lmsfc-temporal")
@@ -249,6 +258,19 @@ class LMSFCTemporalCodec:
         n_frames = feats[0].shape[0]
         level_shapes = [(f.shape[3], f.shape[1], f.shape[2]) for f in feats]
 
+        # pad the sequence to whole GOPs by edge-repeat: pad frames occupy
+        # the TAIL offsets of the last GOP, so no real frame ever conditions
+        # on one (batch independence of the transforms gives the decoder
+        # bit-identical pad rows for z via its own edge-repeat)
+        ip = self.intra_period
+        n_gops = -(-n_frames // ip)
+        t_pad = n_gops * ip
+        if t_pad > n_frames:
+            feats = [
+                jnp.concatenate([f, jnp.repeat(f[-1:], t_pad - n_frames, axis=0)])
+                for f in feats
+            ]
+
         analysis = self._analysis_fn(tuple(f.shape for f in feats))
         y, z_sym_dev = analysis(self.params, feats)
         y_shape, z_shape = y.shape, z_sym_dev.shape  # metadata only
@@ -257,22 +279,20 @@ class LMSFCTemporalCodec:
         hyper = self._hyper_fn((y_shape[1], y_shape[2]))
         sh, mh = hyper(self.params, z_sym_dev)  # stay device-resident
 
-        pred_idx = self._pred_idx_fn(y_shape[1:])
+        pred_idx = self._pred_idx_fn((n_gops,) + tuple(y_shape[1:]))
         sym = self._sym_fn()
         dequant = self._dequant_fn()
 
-        # dispatch the WHOLE closed prediction loop without a single host
-        # sync: y_prev chains through device-side dequant, so the per-frame
-        # programs queue back-to-back and the only downloads are the final
-        # integer planes
-        handles = []  # (y_idx u8 dev, y_sym i16 dev)
-        y_prev = jnp.zeros((1,) + tuple(y_shape[1:]), jnp.float32)
-        for t in range(n_frames):
-            is_intra = (t % self.intra_period) == 0
+        # GOP-batched closed loop: offset t of every GOP in one program call
+        # (x[t::ip] gathers the GOP batch); the whole chain dispatches with
+        # no host sync and only intra_period sequential steps
+        handles = []  # per offset: (y_idx u8 (G,...), y_sym i16 (G,...))
+        y_prev = jnp.zeros((n_gops,) + tuple(y_shape[1:]), jnp.float32)
+        for t in range(ip):
             yi_t, means_t = pred_idx(
-                self.params, y_prev, sh[t : t + 1], mh[t : t + 1], is_intra
+                self.params, y_prev, sh[t::ip], mh[t::ip], t == 0
             )
-            ys_t = sym(y[t : t + 1], means_t)
+            ys_t = sym(y[t::ip], means_t)
             y_prev = dequant(ys_t, means_t)  # closed loop on device
             handles.append((yi_t, ys_t))
 
@@ -282,7 +302,7 @@ class LMSFCTemporalCodec:
             [z_sym_dev] + [h[0] for h in handles] + [h[1] for h in handles]
         )
         z_sym = flat[0]
-        yi_all, ys_all = flat[1 : 1 + n_frames], flat[1 + n_frames :]
+        yi_off, ys_off = flat[1 : 1 + ip], flat[1 + ip :]
         z_idx = np.broadcast_to(
             np.arange(z_shape[-1], dtype=np.int32), tuple(z_shape[1:])
         ).ravel()
@@ -307,11 +327,12 @@ class LMSFCTemporalCodec:
             header = fd.tell()
 
             for t in range(n_frames):
+                g, off = divmod(t, ip)
                 z_bytes = self._enc.encode_with_indexes(
                     z_sym[t].ravel(), z_idx, eb.cdfs, eb.cdf_lengths, eb.offsets
                 )
                 y_bytes = self._enc.encode_with_indexes(
-                    ys_all[t].ravel(), yi_all[t].ravel(),
+                    ys_off[off][g].ravel(), yi_off[off][g].ravel(),
                     gc.cdfs, gc.cdf_lengths, gc.offsets,
                 )
                 write_uints(fd, (len(z_bytes),))
@@ -352,37 +373,55 @@ class LMSFCTemporalCodec:
                 streams.append((zb, yb))
 
         z_idx = np.broadcast_to(np.arange(z_c, dtype=np.int32), (z_h, z_w, z_c)).ravel()
-        # hyper params frame-parallel from decoded z (device-resident)
-        z_sym_all = np.empty((n_frames, z_h, z_w, z_c), np.int16)
+        # hyper params frame-parallel from decoded z; pad to whole GOPs by
+        # edge-repeat — bit-identical to the encoder's pad rows (its padded
+        # FEATURE frames were edge-repeats, and the transforms are
+        # batch-independent, so its padded z rows equal the last real row)
+        ip = int(intra_period)
+        n_gops = -(-n_frames // ip)
+        t_pad = n_gops * ip
+        z_sym_all = np.empty((t_pad, z_h, z_w, z_c), np.int16)
         for t, (zb, _) in enumerate(streams):
             z_sym_all[t] = self._dec.decode_with_indexes(
                 zb, z_idx, eb.cdfs, eb.cdf_lengths, eb.offsets
             ).reshape(z_h, z_w, z_c)
+        z_sym_all[n_frames:] = z_sym_all[n_frames - 1]
 
         hyper = self._hyper_fn((y_h, y_w))
         sh, mh = hyper(self.params, jnp.asarray(z_sym_all))
 
-        pred_idx = self._pred_idx_fn((y_h, y_w, y_c))
+        pred_idx = self._pred_idx_fn((n_gops, y_h, y_w, y_c))
         dequant = self._dequant_fn()
-        y_hat_frames = []
-        y_prev = jnp.zeros((1, y_h, y_w, y_c), jnp.float32)
-        for t, (_, yb) in enumerate(streams):
-            is_intra = (t % intra_period) == 0
-            # per-frame sync is inherent to conditional coding: the symbols
-            # cannot be entropy-decoded before the indexes derived from the
-            # previous frame's reconstruction are known
+        # GOP-batched chain: one predictor call per OFFSET (not per frame);
+        # the per-offset host sync is inherent to conditional coding, but
+        # its depth is now intra_period, not sequence length. Pad rows only
+        # exist in the TAIL offsets of the last GOP and never condition a
+        # real frame, so their symbols can be anything (zeros).
+        y_hat_offsets = []
+        y_prev = jnp.zeros((n_gops, y_h, y_w, y_c), jnp.float32)
+        for off in range(ip):
             yi_t, means_t = pred_idx(
-                self.params, y_prev, sh[t : t + 1], mh[t : t + 1], is_intra
+                self.params, y_prev, sh[off::ip], mh[off::ip], off == 0
             )
-            y_sym = self._dec.decode_with_indexes(
-                yb, np.asarray(yi_t).ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets
-            ).reshape(1, y_h, y_w, y_c)
-            y_prev = dequant(jnp.asarray(y_sym.astype(np.int16)), means_t)
-            y_hat_frames.append(y_prev)
+            yi_np = np.asarray(yi_t)
+            ys_np = np.zeros((n_gops, y_h, y_w, y_c), np.int16)
+            for g in range(n_gops):
+                f = g * ip + off
+                if f < n_frames:
+                    ys_np[g] = self._dec.decode_with_indexes(
+                        streams[f][1], yi_np[g].ravel(),
+                        gc.cdfs, gc.cdf_lengths, gc.offsets,
+                    ).reshape(y_h, y_w, y_c)
+            y_prev = dequant(jnp.asarray(ys_np), means_t)
+            y_hat_offsets.append(y_prev)
 
+        # reassemble frame order: y_hat[g*ip+off] = y_hat_offsets[off][g]
+        y_hat_all = jnp.stack(y_hat_offsets, axis=1).reshape(
+            t_pad, y_h, y_w, y_c
+        )[:n_frames]
         shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
         synthesis = self._synthesis_fn(shapes_hw, n_frames)
-        recon = synthesis(self.params, jnp.concatenate(y_hat_frames, axis=0))
+        recon = synthesis(self.params, y_hat_all)
         for r in recon:
             _ = float(r[0, 0, 0, 0])  # scalar-readback execution barrier
         return {"data": dict(zip(names, recon))}

@@ -39,6 +39,7 @@ import numpy as np
 from ..entropy.entropy_bottleneck import build_eb_cdf_table
 from ..entropy.gaussian_conditional import GaussianConditional
 from ..models.lmsfc import LMSFCv2
+from ._jit_cache import MeshJitCache
 from ..native import RansDecoder, RansEncoder
 from ..registry import register_codec
 from ..utils.readwrite import (
@@ -55,7 +56,7 @@ _VERSION = 4  # v4: + n_slices header byte, per-slice y streams (ChARM)
 
 
 @register_codec("lmsfc")
-class LMSFCCodec:
+class LMSFCCodec(MeshJitCache):
     def __init__(
         self,
         vision_model: Any = None,
@@ -164,30 +165,7 @@ class LMSFCCodec:
             )
         return self._gc_table, self._eb_table
 
-    # -------------------------------------------------------------- jit fns
-    def _shardings(self):
-        if self.mesh is None:
-            return {}
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(self.mesh, P())
-        dp = NamedSharding(self.mesh, P("dp"))
-        return {"repl": repl, "dp": dp}
-
-    def _cached_jit(self, key, fn, arity: int, repl_args: int = 1):
-        """jit with the codec's standard mesh layout: the first repl_args
-        arguments (the param tree) replicated, the rest frame-sharded on
-        dp, outputs dp — one place for the sharding boilerplate."""
-        if key not in self._jit_cache:
-            sh = self._shardings()
-            if sh:
-                in_sh = (sh["repl"],) * repl_args + (sh["dp"],) * (arity - repl_args)
-                fn = jax.jit(fn, in_shardings=in_sh, out_shardings=sh["dp"])
-            else:
-                fn = jax.jit(fn)
-            self._jit_cache[key] = fn
-        return self._jit_cache[key]
-
+    # ------------------------------------------ jit fns (mixin: _cached_jit)
     def _hyper_params(self, params, z_sym, y_hw):
         """Shared prologue of every hyper-derived program: coded z symbols
         -> (scales_h, means_h). Single source so encoder- and decoder-side

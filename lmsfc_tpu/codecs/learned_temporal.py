@@ -34,6 +34,7 @@ from ..entropy.gaussian_conditional import GaussianConditional
 from ..models.lmsfc_temporal import LMSFCv2Temporal
 from ..native import RansDecoder, RansEncoder
 from ..registry import register_codec
+from ._jit_cache import MeshJitCache
 from ..utils.readwrite import (
     read_bytes,
     read_uchars,
@@ -48,7 +49,7 @@ _VERSION = 2  # v2: GOP-batched predictor program (see module docstring)
 
 
 @register_codec("lmsfc-temporal")
-class LMSFCTemporalCodec:
+class LMSFCTemporalCodec(MeshJitCache):
     def __init__(
         self,
         vision_model: Any = None,
@@ -64,6 +65,7 @@ class LMSFCTemporalCodec:
         params: Optional[Dict] = None,
         seed: int = 0,
         dtype: str = "bfloat16",
+        mesh=None,
         **kwargs,
     ):
         import logging
@@ -92,7 +94,11 @@ class LMSFCTemporalCodec:
         self._gaussian = GaussianConditional()
         self._tables_cache = None
         self._enc, self._dec = RansEncoder(), RansDecoder()
-        self._jit: Dict = {}
+        self._jit_cache: Dict = {}
+        # optional dp mesh: analysis/hyper/synthesis shard the (padded)
+        # frame axis, the GOP-batched predictor steps shard the GOP axis —
+        # multi-chip video eval with the conditional chain intact
+        self.mesh = mesh
 
     # ------------------------------------------------------------- params
     @property
@@ -137,29 +143,25 @@ class LMSFCTemporalCodec:
             self._tables_cache = (eb, medians, gc)
         return self._tables_cache
 
-    # -------------------------------------------------------------- jits
+    # ------------------------------------------- jits (mixin: _cached_jit)
     # Wire discipline mirrors LMSFCCodec: every float that decides coding
     # state is derived ON DEVICE inside programs shared verbatim by encoder
     # and decoder; the host only moves integer symbol planes.
     def _analysis_fn(self, shapes):
         """fn(params, feats) -> (y f32, z_sym i16), device-resident."""
-        key = ("ana", shapes)
-        if key not in self._jit:
 
-            @jax.jit
-            def fn(params, feats):
-                y, z = self.model.apply(
-                    {"params": params}, list(feats),
-                    method=LMSFCv2Temporal.analysis_latents_clip,
-                )
-                medians = params["base"]["entropy_bottleneck"]["quantiles"][:, 0, 1]
-                z_sym = jnp.clip(
-                    jnp.round(z - medians[None, None, None, :]), -32768, 32767
-                ).astype(jnp.int16)
-                return y, z_sym
+        def fn(params, feats):
+            y, z = self.model.apply(
+                {"params": params}, list(feats),
+                method=LMSFCv2Temporal.analysis_latents_clip,
+            )
+            medians = params["base"]["entropy_bottleneck"]["quantiles"][:, 0, 1]
+            z_sym = jnp.clip(
+                jnp.round(z - medians[None, None, None, :]), -32768, 32767
+            ).astype(jnp.int16)
+            return y, z_sym
 
-            self._jit[key] = fn
-        return self._jit[key]
+        return self._cached_jit(("ana", shapes), fn, arity=2)
 
     def _hyper_fn(self, y_hw):
         """fn(params, z_sym i16) -> (scales_h, means_h), device-resident.
@@ -167,81 +169,75 @@ class LMSFCTemporalCodec:
         One standalone program shared by encode and decode: a fused variant
         could drift by 1 ulp at a scale-table boundary and flip an index,
         desyncing rANS (ADVICE r1 #2)."""
-        key = ("hyp", y_hw)
-        if key not in self._jit:
 
-            @jax.jit
-            def fn(params, z_sym):
-                medians = params["base"]["entropy_bottleneck"]["quantiles"][:, 0, 1]
-                z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
-                return self.model.apply(
-                    {"params": params}, z_hat, y_hw,
-                    method=lambda m, z_, hw: m.base.h_s(z_, hw),
-                )
+        def fn(params, z_sym):
+            medians = params["base"]["entropy_bottleneck"]["quantiles"][:, 0, 1]
+            z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
+            return self.model.apply(
+                {"params": params}, z_hat, y_hw,
+                method=lambda m, z_, hw: m.base.h_s(z_, hw),
+            )
 
-            self._jit[key] = fn
-        return self._jit[key]
+        return self._cached_jit(("hyp", y_hw), fn, arity=2)
 
     def _pred_idx_fn(self, y_shape):
-        """fn(params, y_prev, sh_t, mh_t, is_intra) -> (y_idx u8, means f32).
+        """fn(params, y_prev, sh_t, mh_t, is_intra) -> (y_idx u8, means).
 
-        The per-frame conditional coding state. Scale->index mapping runs
-        inside this jit (same program on both sides => identical ints)."""
-        key = ("pred", y_shape)
-        if key not in self._jit:
+        The per-offset conditional coding state over the GOP batch.
+        Scale->index mapping runs inside this jit (same program on both
+        sides => identical ints). is_intra is a traced scalar so one
+        program serves every offset."""
 
-            @jax.jit
-            def fn(params, y_prev, sh, mh, is_intra):
-                scales, means = self.model.apply(
-                    {"params": params}, y_prev, sh, mh, is_intra,
-                    method=LMSFCv2Temporal.predict_params,
+        def fn(params, y_prev, sh, mh, is_intra):
+            scales, means = self.model.apply(
+                {"params": params}, y_prev, sh, mh, is_intra,
+                method=LMSFCv2Temporal.predict_params,
+            )
+            return GaussianConditional.build_indexes_device(scales), means
+
+        # is_intra is a replicated scalar, everything else GOP-sharded
+        if self.mesh is not None:
+            sh_map = self._shardings()
+            key = ("pred", y_shape)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    fn,
+                    in_shardings=(sh_map["repl"], sh_map["dp"], sh_map["dp"],
+                                  sh_map["dp"], sh_map["repl"]),
+                    out_shardings=sh_map["dp"],
                 )
-                return GaussianConditional.build_indexes_device(scales), means
-
-            self._jit[key] = fn
-        return self._jit[key]
+            return self._jit_cache[key]
+        return self._cached_jit(("pred", y_shape), fn, arity=5)
 
     def _sym_fn(self):
         """Encoder-only: fn(y_t, means) -> i16 symbols."""
-        key = ("sym",)
-        if key not in self._jit:
 
-            @jax.jit
-            def fn(y_t, means):
-                return jnp.clip(jnp.round(y_t - means), -32768, 32767).astype(jnp.int16)
+        def fn(y_t, means):
+            return jnp.clip(jnp.round(y_t - means), -32768, 32767).astype(jnp.int16)
 
-            self._jit[key] = fn
-        return self._jit[key]
+        return self._cached_jit(("sym",), fn, arity=2, repl_args=0)
 
     def _dequant_fn(self):
         """fn(y_sym i16, means) -> y_hat f32: the closed-loop reconstruction
         BOTH sides feed back as y_prev — shared program keeps the prediction
         chain bit-identical across encoder and decoder."""
-        key = ("deq",)
-        if key not in self._jit:
 
-            @jax.jit
-            def fn(y_sym, means):
-                return y_sym.astype(jnp.float32) + means
+        def fn(y_sym, means):
+            return y_sym.astype(jnp.float32) + means
 
-            self._jit[key] = fn
-        return self._jit[key]
+        return self._cached_jit(("deq",), fn, arity=2, repl_args=0)
 
     def _synthesis_fn(self, shapes_hw, t):
         """fn(params, y_hat_all) -> device-resident NCHW pyramid levels."""
-        key = ("syn", shapes_hw, t)
-        if key not in self._jit:
 
-            @jax.jit
-            def fn(params, y_hat):
-                recon = self.model.apply(
-                    {"params": params}, y_hat, shapes_hw,
-                    method=LMSFCv2Temporal.synthesis_clip,
-                )
-                return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
+        def fn(params, y_hat):
+            recon = self.model.apply(
+                {"params": params}, y_hat, shapes_hw,
+                method=LMSFCv2Temporal.synthesis_clip,
+            )
+            return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
 
-            self._jit[key] = fn
-        return self._jit[key]
+        return self._cached_jit(("syn", shapes_hw, t), fn, arity=2)
 
     # -------------------------------------------------------------- encode
     def encode(self, input: Dict, codec_output_dir="", bitstream_name="sequence",
@@ -287,12 +283,13 @@ class LMSFCTemporalCodec:
         # (x[t::ip] gathers the GOP batch); the whole chain dispatches with
         # no host sync and only intra_period sequential steps
         handles = []  # per offset: (y_idx u8 (G,...), y_sym i16 (G,...))
-        y_prev = jnp.zeros((n_gops,) + tuple(y_shape[1:]), jnp.float32)
+        y_prev = self._dp_put(jnp.zeros((n_gops,) + tuple(y_shape[1:]), jnp.float32))
         for t in range(ip):
             yi_t, means_t = pred_idx(
-                self.params, y_prev, sh[t::ip], mh[t::ip], t == 0
+                self.params, y_prev,
+                self._dp_put(sh[t::ip]), self._dp_put(mh[t::ip]), t == 0,
             )
-            ys_t = sym(y[t::ip], means_t)
+            ys_t = sym(self._dp_put(y[t::ip]), means_t)
             y_prev = dequant(ys_t, means_t)  # closed loop on device
             handles.append((yi_t, ys_t))
 
@@ -398,10 +395,11 @@ class LMSFCTemporalCodec:
         # exist in the TAIL offsets of the last GOP and never condition a
         # real frame, so their symbols can be anything (zeros).
         y_hat_offsets = []
-        y_prev = jnp.zeros((n_gops, y_h, y_w, y_c), jnp.float32)
+        y_prev = self._dp_put(jnp.zeros((n_gops, y_h, y_w, y_c), jnp.float32))
         for off in range(ip):
             yi_t, means_t = pred_idx(
-                self.params, y_prev, sh[off::ip], mh[off::ip], off == 0
+                self.params, y_prev,
+                self._dp_put(sh[off::ip]), self._dp_put(mh[off::ip]), off == 0,
             )
             yi_np = np.asarray(yi_t)
             ys_np = np.zeros((n_gops, y_h, y_w, y_c), np.int16)
@@ -412,7 +410,7 @@ class LMSFCTemporalCodec:
                         streams[f][1], yi_np[g].ravel(),
                         gc.cdfs, gc.cdf_lengths, gc.offsets,
                     ).reshape(y_h, y_w, y_c)
-            y_prev = dequant(jnp.asarray(ys_np), means_t)
+            y_prev = dequant(self._dp_put(jnp.asarray(ys_np)), means_t)
             y_hat_offsets.append(y_prev)
 
         # reassemble frame order: y_hat[g*ip+off] = y_hat_offsets[off][g]

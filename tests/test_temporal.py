@@ -113,6 +113,42 @@ class TestTemporalCodec:
         for k in data:
             assert np.array_equal(np.asarray(dec["data"][k]), np.asarray(dec2["data"][k]))
 
+    def test_dp_sharded_temporal(self, tmp_path):
+        """GOP axis sharded over the dp mesh: the conditional chain stays
+        intact (per-offset predictor over the GOP batch) and the codec
+        matches the unsharded one numerically."""
+        import jax as _jax
+
+        from lmsfc_tpu.parallel import make_mesh
+
+        assert _jax.device_count() >= 8
+        mesh = make_mesh(dp=8)
+        rng = np.random.default_rng(4)
+        # 16 frames, IP=2 -> 8 GOPs: one per mesh device
+        data = {
+            "p2": jnp.asarray(rng.normal(0, 2, (16, 8, 16, 16)).astype(np.float32)),
+            "p3": jnp.asarray(rng.normal(0, 2, (16, 8, 8, 8)).astype(np.float32)),
+        }
+        c_sh = LMSFCTemporalCodec(
+            num_filters=16, latent_filters=16, hyper_filters=8,
+            out_channels=(8, 8), intra_period=2, dtype="float32", mesh=mesh,
+        )
+        out = c_sh.encode({"data": data}, tmp_path, "sh")
+        dec = c_sh.decode(out["bitstream"])
+        c_plain = LMSFCTemporalCodec(
+            num_filters=16, latent_filters=16, hyper_filters=8,
+            out_channels=(8, 8), intra_period=2, dtype="float32",
+            params=c_sh.params,
+        )
+        out2 = c_plain.encode({"data": data}, tmp_path / "p", "pl")
+        dec2 = c_plain.decode(out2["bitstream"])
+        for k in data:
+            np.testing.assert_allclose(
+                np.asarray(dec["data"][k]), np.asarray(dec2["data"][k]),
+                rtol=2e-4, atol=2e-4,
+            )
+        assert out["bytes"] == pytest.approx(out2["bytes"], rel=0.05)
+
     def test_trained_predictor_saves_bits_on_static_content(self, tmp_path):
         """After brief training on static clips, inter frames must cost less
         than intra frames on a static sequence."""

@@ -100,6 +100,20 @@ class TestCLI:
         out = _json.loads(capsys.readouterr().out)
         assert out["psnr"] == float("inf") and out["ms_ssim"] == pytest.approx(1.0)
 
+    def test_auto_registers_local_dataset(self, tmp_path, capsys, monkeypatch):
+        from lmsfc_tpu.datasets import registry
+        from lmsfc_tpu.run.cli import main
+
+        monkeypatch.setenv("LMSFC_REGISTRY", str(tmp_path / "reg.json"))
+        assert registry.registry_path() == tmp_path / "reg.json"
+        main(["dummy", "--dir", str(tmp_path / "d")])
+        main(["auto", "autods", "--root", str(tmp_path / "d"),
+              "--annotation-file", "ann.json"])
+        out = capsys.readouterr().out
+        assert "registered 'autods'" in out
+        with pytest.raises(SystemExit, match="--root"):
+            main(["auto", "noroot"])
+
     def test_ms_ssim_sees_luminance_shift(self):
         """Small images use fewer pyramid scales but must NEVER drop the
         luminance term: a constant brightness offset has cs ~= 1 at every

@@ -31,14 +31,24 @@ class MeshJitCache:
         sh = self._shardings()
         return jax.device_put(x, sh["dp"]) if sh else x
 
-    def _cached_jit(self, key, fn, arity: int, repl_args: int = 1):
+    def _cached_jit(self, key, fn, arity: int, repl_args: int = 1, layout=None):
         """jit with the codec's standard mesh layout: the first repl_args
         arguments (the param tree) replicated, the rest sharded on dp,
-        outputs dp."""
+        outputs dp. `layout` overrides the prefix convention with an explicit
+        per-argument mask — a string of 'r' (replicated) / 'd' (dp-sharded),
+        e.g. "rdddr" for a replicated trailing scalar (ADVICE r2 #4)."""
         if key not in self._jit_cache:
             sh = self._shardings()
             if sh:
-                in_sh = (sh["repl"],) * repl_args + (sh["dp"],) * (arity - repl_args)
+                if layout is not None:
+                    assert len(layout) == arity, (layout, arity)
+                    in_sh = tuple(
+                        sh["repl"] if c == "r" else sh["dp"] for c in layout
+                    )
+                else:
+                    in_sh = (sh["repl"],) * repl_args + (sh["dp"],) * (
+                        arity - repl_args
+                    )
                 fn = jax.jit(fn, in_shardings=in_sh, out_shardings=sh["dp"])
             else:
                 fn = jax.jit(fn)

@@ -2,7 +2,7 @@
 
 Device side (jit, bfloat16, Pallas GDN): FENet analysis, hyperprior, DRNet
 synthesis, PLUS all quantization/index derivation — the host only ever
-exchanges integer symbol planes (i32 symbols up/down, u8 scale indexes
+exchanges integer symbol planes (i16 symbols up/down, u8 scale indexes
 down) with the chip; the f32 latents and gaussian params never cross the
 wire. Host side: quantized-CDF tables + C++ rANS producing a REAL
 self-decodable bitstream (unlike the anchors, no fpn-sizes sideband needed:
@@ -74,6 +74,7 @@ class LMSFCCodec(MeshJitCache):
         seed: int = 0,
         dtype: str = "bfloat16",
         chunk_frames: int = 8,
+        max_inflight_chunks: int = 32,
         mesh=None,
         **kwargs,
     ):
@@ -116,6 +117,9 @@ class LMSFCCodec(MeshJitCache):
         self.chunk_frames = int(chunk_frames)
         if not 1 <= self.chunk_frames <= 255:
             raise ValueError(f"chunk_frames must be in [1, 255], got {chunk_frames}")
+        # encode-side bound on dispatched-but-undownloaded chunks (peak HBM
+        # grows with this window; see the windowed _drain in encode)
+        self.max_inflight_chunks = max(1, int(max_inflight_chunks))
         # optional dp mesh: shard the frame axis of analysis/synthesis —
         # frames are independent (intra coding), so eval scales linearly
         self.mesh = mesh
@@ -185,7 +189,7 @@ class LMSFCCodec(MeshJitCache):
         return [jnp.transpose(r, (0, 3, 1, 2)) for r in recon]
 
     def _analysis_fn(self, shapes: Tuple, rate_idx: int):
-        """fn(params, features) -> (y f32, z_sym i32), both device-resident.
+        """fn(params, features) -> (y f32, z_sym i16), both device-resident.
 
         z is quantized ON DEVICE (round around the EB medians): the host
         only ever sees integer symbols, never the f32 latents."""
@@ -212,7 +216,7 @@ class LMSFCCodec(MeshJitCache):
             yield s, min(c, n_frames - s)
 
     def _hyper_idx_fn(self, y_hw: Tuple[int, int]):
-        """fn(params, z_sym i32) -> (y_idx u8, means f32).
+        """fn(params, z_sym i16) -> (y_idx u8, means f32).
 
         The ONE program both sides run to derive coding state from the coded
         z symbols: z_hat = z_sym + medians, (scales, means) = h_s(z_hat),
@@ -228,14 +232,14 @@ class LMSFCCodec(MeshJitCache):
         return self._cached_jit(("hidx", y_hw), fn, arity=2)
 
     def _sym_fn(self):
-        """fn(y f32, means f32) -> y_sym i32 (encoder-only quantization)."""
+        """fn(y f32, means f32) -> y_sym i16 (encoder-only quantization)."""
         def fn(y, means):
             return jnp.clip(jnp.round(y - means), -32768, 32767).astype(jnp.int16)
 
         return self._cached_jit(("sym",), fn, arity=2, repl_args=0)
 
     def _syn_fn(self, shapes_hw: Tuple[Tuple[int, int], ...], rate_idx: int):
-        """fn(params, y_sym i32, means f32) -> list of NCHW f32 recon levels.
+        """fn(params, y_sym i16, means f32) -> list of NCHW f32 recon levels.
 
         Dequantization (y_hat = y_sym + means) and the NHWC->NCHW transpose
         happen on device: the host uploads integer symbols and the pyramid
@@ -326,8 +330,45 @@ class LMSFCCodec(MeshJitCache):
         sym = self._sym_fn()
         n_sl = max(1, self.num_slices)
         hyper_idx = None
+
+        # downloads (ints only: u8 indexes + i16 symbols; the f32 latents and
+        # gaussian params never leave the device). Batched device_get —
+        # each separate host fetch pays a full link round trip (measured 2x
+        # on the relay), so chunks' planes travel together. In-flight device
+        # handles are bounded to windows of max_inflight_chunks so peak HBM
+        # stays O(window), not O(sequence) (ADVICE r2 #5).
+        z_parts: List[np.ndarray] = []
+        yi_parts: List[List[np.ndarray]] = [[] for _ in range(n_sl)]
+        ys_parts: List[List[np.ndarray]] = [[] for _ in range(n_sl)]
+
+        def _drain(window):
+            k = len(window)
+            if not k:
+                return
+            flat = jax.device_get(
+                [h[1] for h in window]
+                + [yi for h in window for yi in h[2]]
+                + [ys for h in window for ys in h[3]]
+            )
+            z_parts.append(
+                np.concatenate([a[: h[0]] for a, h in zip(flat[:k], window)])
+            )
+            yi_flat = flat[k : k + k * n_sl]
+            ys_flat = flat[k + k * n_sl :]
+            # per-slice, frames concatenated across chunks (pad rows trimmed)
+            for i in range(n_sl):
+                yi_parts[i].append(np.concatenate(
+                    [yi_flat[j * n_sl + i][: window[j][0]] for j in range(k)]
+                ))
+                ys_parts[i].append(np.concatenate(
+                    [ys_flat[j * n_sl + i][: window[j][0]] for j in range(k)]
+                ))
+
         handles = []  # (cnt, z_sym_dev, [y_idx_dev]*n_sl, [y_sym_dev]*n_sl)
         for s, cnt in self._chunk_iter(n_frames, chunk):
+            if len(handles) >= self.max_inflight_chunks:
+                _drain(handles)
+                handles = []
             part = [f[s : s + cnt] for f in feats]
             if cnt < chunk:
                 part = [
@@ -361,30 +402,14 @@ class LMSFCCodec(MeshJitCache):
                 yi_c, mn_c = hyper_idx(self.params, zs_c)
                 handles.append((cnt, zs_c, [yi_c], [sym(yc, mn_c)]))
 
-        # downloads (ints only: u8 indexes + i16 symbols; the f32 latents and
-        # gaussian params never leave the device). ONE batched device_get —
-        # each separate host fetch pays a full link round trip (measured 2x
-        # on the relay), so all chunks' planes travel together.
-        k = len(handles)
-        flat = jax.device_get(
-            [h[1] for h in handles]
-            + [yi for h in handles for yi in h[2]]
-            + [ys for h in handles for ys in h[3]]
-        )
-        z_sym = np.concatenate([a[: h[0]] for a, h in zip(flat[:k], handles)])
-        yi_flat = flat[k : k + k * n_sl]
-        ys_flat = flat[k + k * n_sl :]
-        # per-slice, frames concatenated across chunks (pad rows trimmed)
+        _drain(handles)
+        z_sym = np.concatenate(z_parts) if len(z_parts) > 1 else z_parts[0]
         y_idx_sl = [
-            np.concatenate(
-                [yi_flat[j * n_sl + i][: handles[j][0]] for j in range(k)]
-            )
+            np.concatenate(yi_parts[i]) if len(yi_parts[i]) > 1 else yi_parts[i][0]
             for i in range(n_sl)
         ]
         y_sym_sl = [
-            np.concatenate(
-                [ys_flat[j * n_sl + i][: handles[j][0]] for j in range(k)]
-            )
+            np.concatenate(ys_parts[i]) if len(ys_parts[i]) > 1 else ys_parts[i][0]
             for i in range(n_sl)
         ]
         z_idx = np.broadcast_to(
@@ -466,7 +491,12 @@ class LMSFCCodec(MeshJitCache):
             magic = fd.read(4)
             assert magic == _MAGIC, f"bad magic {magic!r}"
             version, n_levels, chunk_in_stream, rate_idx, n_slices = read_uchars(fd, 5)
-            assert version == _VERSION
+            if version != _VERSION:
+                raise ValueError(
+                    f"stream version {version} unsupported (current {_VERSION}); "
+                    "streams written before the v4 ChARM header (e.g. the "
+                    "runs/rd_r02 artifacts) must be re-encoded"
+                )
             (n_frames,) = read_uints(fd, 1)
             # the gaussian-param program must match the encoder's chunking;
             # chunk/rate/slices all ride in the header and stay LOCAL to this

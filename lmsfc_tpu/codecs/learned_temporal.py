@@ -196,18 +196,7 @@ class LMSFCTemporalCodec(MeshJitCache):
             return GaussianConditional.build_indexes_device(scales), means
 
         # is_intra is a replicated scalar, everything else GOP-sharded
-        if self.mesh is not None:
-            sh_map = self._shardings()
-            key = ("pred", y_shape)
-            if key not in self._jit_cache:
-                self._jit_cache[key] = jax.jit(
-                    fn,
-                    in_shardings=(sh_map["repl"], sh_map["dp"], sh_map["dp"],
-                                  sh_map["dp"], sh_map["repl"]),
-                    out_shardings=sh_map["dp"],
-                )
-            return self._jit_cache[key]
-        return self._cached_jit(("pred", y_shape), fn, arity=5)
+        return self._cached_jit(("pred", y_shape), fn, arity=5, layout="rdddr")
 
     def _sym_fn(self):
         """Encoder-only: fn(y_t, means) -> i16 symbols."""
@@ -352,7 +341,12 @@ class LMSFCTemporalCodec(MeshJitCache):
         with open(path, "rb") as fd:
             assert fd.read(4) == _MAGIC, "bad temporal-codec magic"
             version, n_levels, intra_period = read_uchars(fd, 3)
-            assert version == _VERSION
+            if version != _VERSION:
+                raise ValueError(
+                    f"stream version {version} unsupported (current {_VERSION}); "
+                    "v1 LMFT streams predate the GOP-batched predictor and "
+                    "must be re-encoded"
+                )
             (n_frames,) = read_uints(fd, 1)
             names, level_shapes = [], []
             for _ in range(n_levels):

@@ -208,8 +208,10 @@ def cmd_clean(args) -> None:
 
 def cmd_metrics_eval(args) -> None:
     """PSNR + MS-SSIM between paired images (ref metrics_eval.py: remote-
-    inference quality readout). Pairs ref/test by sorted filename; bpp from
-    an optional bitstream dir (sum of file sizes / total pixels)."""
+    inference quality readout). Pairs ref/test by filename STEM (sorted
+    position would silently mispair when names differ — ADVICE r2 #3);
+    bpp from an optional bitstream dir, restricted to matched stems when
+    any bitstream matches one, else the whole dir."""
     import cv2
     import numpy as np
 
@@ -217,11 +219,22 @@ def cmd_metrics_eval(args) -> None:
 
     ref_dir, test_dir = Path(args.ref_dir), Path(args.test_dir)
     exts = {".png", ".jpg", ".jpeg", ".bmp"}
-    refs = sorted(p for p in ref_dir.iterdir() if p.suffix.lower() in exts)
-    tests = sorted(p for p in test_dir.iterdir() if p.suffix.lower() in exts)
-    assert refs and len(refs) == len(tests), (len(refs), len(tests))
+    refs = {p.stem: p for p in ref_dir.iterdir() if p.suffix.lower() in exts}
+    tests = {p.stem: p for p in test_dir.iterdir() if p.suffix.lower() in exts}
+    if not refs:
+        raise SystemExit(f"no images in {ref_dir}")
+    stems = sorted(refs.keys() & tests.keys())
+    unmatched = sorted((refs.keys() | tests.keys()) - set(stems))
+    if not stems:
+        raise SystemExit(
+            f"no filename stems in common between {ref_dir} and {test_dir}"
+        )
+    if unmatched:
+        print(f"warning: {len(unmatched)} unmatched stem(s) skipped: "
+              f"{', '.join(unmatched[:5])}{'…' if len(unmatched) > 5 else ''}",
+              file=sys.stderr)
     rows, npix = [], 0
-    for rp, tp in zip(refs, tests):
+    for rp, tp in ((refs[s], tests[s]) for s in stems):
         a, b = cv2.imread(str(rp)), cv2.imread(str(tp))
         if a is None or b is None:
             raise ValueError(f"unreadable image: {rp if a is None else tp}")
@@ -235,8 +248,12 @@ def cmd_metrics_eval(args) -> None:
         "n_images": len(rows),
     }
     if args.bitstream_dir:
-        nbytes = sum(p.stat().st_size for p in Path(args.bitstream_dir).iterdir())
-        out["bpp"] = nbytes * 8 / npix
+        bits = [p for p in Path(args.bitstream_dir).iterdir() if p.is_file()]
+        matched = [p for p in bits if p.stem.split(".")[0] in set(stems)]
+        # per-image bitstreams: count only the evaluated pairs; otherwise
+        # (single sequence-level stream) keep the whole dir
+        counted = matched if matched else bits
+        out["bpp"] = sum(p.stat().st_size for p in counted) * 8 / npix
     if args.per_image:
         out["per_image"] = [
             {"name": n, "psnr": p_, "ms_ssim": m} for n, p_, m in rows

@@ -65,6 +65,7 @@ class TestCharmModel:
                 _features(),
             )
 
+    @pytest.mark.slow
     def test_rd_loss_trains(self):
         import optax
 
@@ -207,6 +208,7 @@ class TestCharmCodec:
             )
         assert out["bytes"] == pytest.approx(out2["bytes"], rel=0.05)
 
+    @pytest.mark.slow
     def test_trained_charm_beats_hyperprior_on_channel_correlation(self, tmp_path):
         """Train tiny ChARM and plain models on channel-correlated features;
         ChARM must spend measurably fewer bits at comparable distortion

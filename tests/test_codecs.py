@@ -66,6 +66,21 @@ class TestLMSFCCodec:
         for k in data:
             assert dec["data"][k].shape == data[k].shape
 
+    def test_bounded_inflight_window_identical_stream(self, tmp_path):
+        """Windowed chunk downloads (max_inflight_chunks, ADVICE r2 #5)
+        must not change the bitstream: 6 frames in 2-frame chunks drained
+        one chunk at a time == all chunks in flight."""
+        common = dict(num_filters=16, latent_filters=16, hyper_filters=8,
+                      out_channels=(8, 8, 8, 8), dtype="float32",
+                      chunk_frames=2, seed=5)
+        data = feature_dict(batch=6, seed=9)
+        a = LMSFCCodec(max_inflight_chunks=1, **common)
+        b = LMSFCCodec(max_inflight_chunks=32, **common)
+        out_a = a.encode({"data": data}, codec_output_dir=tmp_path, bitstream_name="wa")
+        out_b = b.encode({"data": data}, codec_output_dir=tmp_path, bitstream_name="wb")
+        assert (tmp_path / "wa.bin").read_bytes() == (tmp_path / "wb.bin").read_bytes()
+        assert out_a["bytes"] == out_b["bytes"]
+
     def test_deterministic_reconstruction(self, codec, tmp_path):
         """Decoding twice gives the identical tensors (no rng in eval path)."""
         data = feature_dict(batch=1, seed=3)

@@ -69,6 +69,8 @@ class LMSFCCodec(MeshJitCache):
         out_channels: Sequence[int] = (256, 256, 256, 256),
         num_rates: int = 0,
         num_slices: int = 0,
+        lrp: bool = False,
+        latent_stride_div: int = 2,
         checkpoint_dir: Optional[str] = None,
         params: Optional[Dict] = None,
         seed: int = 0,
@@ -96,7 +98,10 @@ class LMSFCCodec(MeshJitCache):
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
             num_rates=self.num_rates,
             num_slices=self.num_slices,
+            lrp=bool(lrp),
+            latent_stride_div=int(latent_stride_div),
         )
+        self.lrp = bool(lrp)
         # gain-unit models: qp selects the rate point within ONE checkpoint
         self.rate_idx = max(0, (qp or 1) - 1) if self.num_rates else 0
         self._params = params
@@ -281,6 +286,26 @@ class LMSFCCodec(MeshJitCache):
 
         return self._cached_jit(("deq",), fn, arity=2, repl_args=0)
 
+    def _deq_slice_fn(self, i: int):
+        """fn(params, support, y_sym i16, means) -> decoded slice i, with
+        the LRP correction fused in when the model has one. The corrected
+        slice is what BOTH sides feed forward as conditioning, so the LRP
+        residual is part of the shared-program wire discipline."""
+        if not self.lrp:
+            base = self._deq_fn()
+            return lambda params, sup, ys, mn: base(ys, mn)
+
+        def fn(params, sup, ys, mn):
+            y_raw = ys.astype(jnp.float32) + mn
+            r = self.model.apply(
+                {"params": params},
+                jnp.concatenate([sup, y_raw], axis=-1), i,
+                method=LMSFCv2.slice_lrp,
+            )
+            return y_raw + r
+
+        return self._cached_jit(("deqlrp", i), fn, arity=4)
+
     def _syn_hat_fn(self, shapes_hw: Tuple[Tuple[int, int], ...], rate_idx: int):
         """ChARM decode tail: fn(params, y_hat f32) -> NCHW recon levels."""
         def fn(params, y_hat):
@@ -388,13 +413,14 @@ class LMSFCCodec(MeshJitCache):
             if self.num_slices:
                 support0 = hyper_idx(self.params, zs_c)
                 cs = self.model.latent_filters // self.num_slices
-                deq = self._deq_fn()
                 y_hat_parts, yis, yss = [], [], []
                 for i in range(self.num_slices):
                     sup = jnp.concatenate([support0] + y_hat_parts, axis=-1)
                     yi_i, mn_i = self._slice_idx_fn(i)(self.params, sup)
                     ys_i = sym(yc[..., i * cs : (i + 1) * cs], mn_i)
-                    y_hat_parts.append(deq(ys_i, mn_i))
+                    y_hat_parts.append(
+                        self._deq_slice_fn(i)(self.params, sup, ys_i, mn_i)
+                    )
                     yis.append(yi_i)
                     yss.append(ys_i)
                 handles.append((cnt, zs_c, yis, yss))
@@ -621,7 +647,6 @@ class LMSFCCodec(MeshJitCache):
         cs = y_c // n_slices
         gc_table, _ = self._tables()
         hyper_support = self._hyper_support_fn((y_h, y_w))
-        deq = self._deq_fn()
         synthesis = self._syn_hat_fn(shapes_hw, rate_idx)
 
         recon_parts: List[List[jax.Array]] = []
@@ -643,7 +668,9 @@ class LMSFCCodec(MeshJitCache):
                     ).reshape(y_h, y_w, cs)
                 for j in range(cnt, chunk):  # pad rows mirror encoder's
                     ys_np[j] = ys_np[cnt - 1]
-                y_hat_parts.append(deq(jnp.asarray(ys_np), mn_i))
+                y_hat_parts.append(
+                    self._deq_slice_fn(i)(self.params, sup, jnp.asarray(ys_np), mn_i)
+                )
             y_hat = jnp.concatenate(y_hat_parts, axis=-1)
             recon = synthesis(self.params, y_hat)
             recon_parts.append([r[:cnt] for r in recon])

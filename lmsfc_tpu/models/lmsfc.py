@@ -41,11 +41,20 @@ def _halve(h: int, w: int) -> Tuple[int, int]:
 
 
 class FENet(nn.Module):
-    """Analysis transform: pyramid {finest..coarsest} -> latent y."""
+    """Analysis transform: pyramid {finest..coarsest} -> latent y.
+
+    latent_stride_div halves the final downsampling: the default latent
+    lives at 2x the coarsest level's stride (stride-64 for an FPN); with
+    latent_stride_div=1 it stays AT the coarsest stride (stride-32), 4x
+    the spatial positions — the high-rate regime (>~0.1 bpp per source
+    pixel) is spatially starved at stride 64 (0.047 latent values/pixel
+    caps the achievable rate far below the anchor range, VERDICT r2
+    item 1)."""
 
     num_filters: int = 192  # N
     latent_filters: int = 192  # M
     dtype: jnp.dtype = jnp.bfloat16
+    latent_stride_div: int = 2  # stride of the final fusion conv
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array]) -> jax.Array:
@@ -54,12 +63,14 @@ class FENet(nn.Module):
         x = ConvBlock(n, 5, 2, gdn="gdn", dtype=self.dtype, name="down0")(
             features[0].astype(self.dtype)
         )
+        last = len(features) - 1
         for i, feat in enumerate(features[1:], start=1):
             f = feat.astype(self.dtype)
             # align (ceil-division stride can overshoot odd sizes by 1 pixel)
             x = resize_to(x, f.shape[1:3])
             x = jnp.concatenate([x, f], axis=-1)
-            x = ConvBlock(n, 5, 2, gdn="gdn", dtype=self.dtype, name=f"down{i}")(x)
+            stride = self.latent_stride_div if i == last else 2
+            x = ConvBlock(n, 5, stride, gdn="gdn", dtype=self.dtype, name=f"down{i}")(x)
         y = ConvBlock(self.latent_filters, 5, 1, dtype=self.dtype, name="to_latent")(x)
         return y.astype(jnp.float32)
 
@@ -152,6 +163,29 @@ class SliceNet(nn.Module):
         return scales, means
 
 
+class LRPNet(nn.Module):
+    """Latent residual prediction head (ChARM, Minnen & Singh 2020 §III-C):
+    predicts a bounded correction to a dequantized channel slice from the
+    hyper support, the previously decoded slices, and the slice itself.
+    Zero rate cost (runs after entropy decoding) for a distortion win —
+    the quantization-error structure the gaussian mean can't express."""
+
+    slice_ch: int
+    mid: int = 96
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, support: jax.Array) -> jax.Array:
+        x = ConvBlock(self.mid, 3, 1, act=nn.relu, dtype=self.dtype, name="l0")(
+            support.astype(self.dtype)
+        )
+        x = ConvBlock(self.mid, 3, 1, act=nn.relu, dtype=self.dtype, name="l1")(x)
+        r = ConvBlock(self.slice_ch, 3, 1, dtype=self.dtype, name="to_res")(x)
+        # bounded to (-0.5, 0.5): a residual larger than half the quant bin
+        # would fight the entropy model instead of refining it
+        return 0.5 * jnp.tanh(r.astype(jnp.float32))
+
+
 class LMSFCv2(nn.Module):
     """Full codec: forward pass returns reconstructions + likelihoods.
 
@@ -181,12 +215,15 @@ class LMSFCv2(nn.Module):
     remat: bool = False  # rematerialize transforms (trade FLOPs for HBM)
     num_rates: int = 0  # 0 = single-rate (no gain units)
     num_slices: int = 0  # 0 = plain hyperprior; >0 = ChARM channel slices
+    lrp: bool = False  # ChARM latent residual prediction (needs num_slices)
+    latent_stride_div: int = 2  # 1 = high-rate latent at the coarsest stride
 
     def setup(self):
         fenet_cls = nn.remat(FENet) if self.remat else FENet
         # DRNet's shapes_hw argument must stay static under remat
         drnet_cls = nn.remat(DRNet, static_argnums=(2,)) if self.remat else DRNet
-        self.fenet = fenet_cls(self.num_filters, self.latent_filters, self.dtype)
+        self.fenet = fenet_cls(self.num_filters, self.latent_filters, self.dtype,
+                               self.latent_stride_div)
         self.h_a = HyperEncoder(self.latent_filters, self.hyper_filters, self.dtype)
         self.h_s = HyperDecoder(self.latent_filters, self.hyper_filters, self.dtype)
         self.drnet = drnet_cls(self.out_channels, self.num_filters, self.dtype)
@@ -207,6 +244,11 @@ class LMSFCv2(nn.Module):
                 SliceNet(cs, dtype=self.dtype, name=f"slice{i}")
                 for i in range(self.num_slices)
             ]
+            if self.lrp:
+                self.lrp_nets = [
+                    LRPNet(cs, dtype=self.dtype, name=f"lrp{i}")
+                    for i in range(self.num_slices)
+                ]
 
     def _gain(self, rate_idx) -> jax.Array:
         return jnp.abs(self.gains[rate_idx])[None, None, None, :]
@@ -267,6 +309,10 @@ class LMSFCv2(nn.Module):
             y_hat_i, lk_i = self.gaussian(
                 y_i, sc_i, mn_i, training=training, rng=keys[i]
             )
+            if self.lrp:
+                y_hat_i = y_hat_i + self.lrp_nets[i](
+                    jnp.concatenate([sup, y_hat_i], axis=-1)
+                )
             y_hat_parts.append(y_hat_i)
             lk_parts.append(lk_i)
             sc_parts.append(sc_i)
@@ -315,3 +361,8 @@ class LMSFCv2(nn.Module):
         """ChARM codec support: gaussian params for one channel slice from
         concat([scales_h, means_h, y_hat_slices[<slice_idx]])."""
         return self.slice_nets[slice_idx](support)
+
+    def slice_lrp(self, support: jax.Array, slice_idx: int):
+        """ChARM codec support: LRP residual for one dequantized slice from
+        concat([scales_h, means_h, y_hat_slices[<slice_idx], y_hat_raw_i])."""
+        return self.lrp_nets[slice_idx](support)

@@ -57,6 +57,8 @@ def train_rate_point(
             remat=t.get("remat", False),
             num_rates=t.get("num_rates", 0),
             num_slices=t.get("num_slices", 0),
+            lrp=t.get("lrp", False),
+            latent_stride_div=t.get("latent_stride_div", 2),
             **common,
         )
     batch = t.get("batch", 8)

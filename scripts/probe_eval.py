@@ -31,6 +31,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 384))
     ap.add_argument("--out", default="probe_eval.json")
+    ap.add_argument("--latent-stride-div", type=int, default=2)
     args = ap.parse_args()
 
     from lmsfc_tpu.codecs.learned import LMSFCCodec
@@ -50,6 +51,7 @@ def main() -> None:
         codec = LMSFCCodec(
             checkpoint_dir=str(p), num_filters=192, latent_filters=192,
             hyper_filters=128, dtype="bfloat16", chunk_frames=4,
+            latent_stride_div=args.latent_stride_div,
         )
         m = eval_point(codec, data, n_pixels, out_dir, f"probe_{p.name}")
         row = {"ckpt": str(p), "lambda": lam, **m}

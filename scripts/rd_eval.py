@@ -86,6 +86,13 @@ def main() -> None:
     ap.add_argument("--num-slices", type=int, default=0,
                     help="ChARM slices of the JOINT checkpoint (the single-"
                          "lambda baselines are plain hyperprior models)")
+    ap.add_argument("--latent-stride-div", type=int, default=2,
+                    help="FENet final-stage stride (1 = high-rate stride-32 "
+                         "latent; must match training)")
+    ap.add_argument("--lrp", action="store_true",
+                    help="JOINT checkpoint has ChARM LRP nets")
+    ap.add_argument("--lmbdas", type=float, nargs="+", default=None,
+                    help="lambda grid (defaults to the module LMBDAS)")
     args = ap.parse_args()
 
     from lmsfc_tpu.codecs.learned import LMSFCCodec
@@ -101,10 +108,12 @@ def main() -> None:
 
     rows, curves = [], {"single": [], "joint": []}
     common = dict(num_filters=192, latent_filters=192, hyper_filters=128,
-                  dtype="bfloat16", chunk_frames=8)
+                  dtype="bfloat16", chunk_frames=8,
+                  latent_stride_div=args.latent_stride_div)
+    lmbdas = tuple(args.lmbdas) if args.lmbdas else LMBDAS
     root = Path(args.ckpt_root)
 
-    for qi, lam in enumerate(LMBDAS, start=1):
+    for qi, lam in enumerate(lmbdas, start=1):
         ckpt = root / args.single_dir / f"q{qi}_lmbda{lam}"
         if not ckpt.exists():
             print(f"skip single q{qi}: {ckpt} missing")
@@ -118,12 +127,13 @@ def main() -> None:
 
     joint_ckpt = root / args.joint_dir
     if joint_ckpt.exists():
-        for qi in range(1, len(LMBDAS) + 1):
+        for qi in range(1, len(lmbdas) + 1):
             codec = LMSFCCodec(qp=qi, checkpoint_dir=str(joint_ckpt),
-                               num_rates=len(LMBDAS),
-                               num_slices=args.num_slices, **common)
+                               num_rates=len(lmbdas),
+                               num_slices=args.num_slices, lrp=args.lrp,
+                               **common)
             m = eval_point(codec, data, n_pixels, out_dir, f"joint_q{qi}")
-            rows.append({"model": "joint", "qp": qi, "lambda": LMBDAS[qi - 1], **m})
+            rows.append({"model": "joint", "qp": qi, "lambda": lmbdas[qi - 1], **m})
             curves["joint"].append((m["bpp"], m["feature_psnr_db"]))
             print(f"joint  q{qi}: bpp={m['bpp']:.4f} psnr={m['feature_psnr_db']:.2f}dB",
                   flush=True)

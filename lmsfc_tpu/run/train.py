@@ -66,12 +66,21 @@ def train_rate_point(
 
     dump_dir = t.get("feature_dump_dir")
     if temporal:
-        from ..training.data import SyntheticClipSource
+        if dump_dir:
+            from ..training.data import FeatureClipDumpSource
 
-        source = SyntheticClipSource(
-            clip_len=t.get("clip_len", batch), base_hw=base_hw,
-            channels=channels, seed=t.get("seed", 0),
-        )
+            source = FeatureClipDumpSource(
+                Path(dump_dir), clip_len=t.get("clip_len", batch),
+                base_hw=base_hw, seed=t.get("seed", 0),
+                preload=bool(t.get("preload", False)),
+            )
+        else:
+            from ..training.data import SyntheticClipSource
+
+            source = SyntheticClipSource(
+                clip_len=t.get("clip_len", batch), base_hw=base_hw,
+                channels=channels, seed=t.get("seed", 0),
+            )
     elif dump_dir:
         source = FeatureDumpSource(
             Path(dump_dir), batch, base_hw, seed=t.get("seed", 0),
@@ -85,14 +94,13 @@ def train_rate_point(
     device_data = (
         bool(t.get("device_data", True))
         and mesh is None
-        and not temporal
         and dump_dir
         and jax.default_backend() != "cpu"
     )
     sampler = None
     levels_full = None
     if device_data:
-        from ..training.data import device_crop_sampler
+        from ..training.data import device_clip_sampler, device_crop_sampler
 
         cache = source._cache
         if cache is None:
@@ -104,12 +112,16 @@ def train_rate_point(
             )
             for k in keys
         ]
+        clip_t = cache[0][keys[0]].shape[0]  # frames per dump (1 for stills)
         del cache
         print(
             f"device data: {len(source.files)} dumps staged in HBM "
             f"({sum(l.nbytes for l in levels_full)/1e9:.2f} GB)"
         )
-        sampler = device_crop_sampler(base_hw, batch)
+        if temporal:
+            sampler = device_clip_sampler(base_hw, t.get("clip_len", batch), clip_t)
+        else:
+            sampler = device_crop_sampler(base_hw, batch)
     data_iter = iter(source)
 
     if device_data:

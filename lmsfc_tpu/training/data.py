@@ -168,6 +168,102 @@ def device_crop_sampler(base_hw: Tuple[int, int], batch: int):
     return sample
 
 
+def device_clip_sampler(base_hw: Tuple[int, int], clip_len: int, clip_t: int):
+    """On-device random clip sampler (temporal analog of
+    device_crop_sampler): levels are [N_clips*clip_t, H, W, C] with each
+    clip's frames contiguous; every step picks one clip, a frame offset,
+    and a spatial window shared across the clip — one dynamic_slice per
+    level, zero per-step host transfer (a host-fed 8-frame clip batch is
+    ~45MB/step, >1s on the relay link)."""
+    import jax
+
+    h0, w0 = base_hw
+
+    def sample(levels, rng):
+        n_levels = len(levels)
+        align = 2 ** (n_levels - 1)
+        n_clips = levels[0].shape[0] // clip_t
+        fh, fw = levels[0].shape[1], levels[0].shape[2]
+        rng_c, rng_t, rng_y, rng_x = jax.random.split(rng, 4)
+        c = jax.random.randint(rng_c, (), 0, n_clips)
+        t0 = jax.random.randint(rng_t, (), 0, clip_t - clip_len + 1)
+        start = c * clip_t + t0
+        y0 = jax.random.randint(rng_y, (), 0, (fh - h0) // align + 1) * align
+        x0 = jax.random.randint(rng_x, (), 0, (fw - w0) // align + 1) * align
+        out = []
+        ch, cw = h0, w0
+        for lvl, data in enumerate(levels):
+            out.append(jax.lax.dynamic_slice(
+                data, (start, y0 >> lvl, x0 >> lvl, 0),
+                (clip_len, ch, cw, data.shape[-1]),
+            ))
+            ch, cw = -(-ch // 2), -(-cw // 2)
+        return out
+
+    return sample
+
+
+class FeatureClipDumpSource:
+    """Random spatio-temporal crops from *_clip.npz motion dumps (keys =
+    levels, [T,C,H,W]; written by scripts/make_motion_features.py). Yields
+    [clip_len, h, w, C] levels (finest first) — the temporal trainer's
+    batch axis IS the clip. The crop window is shared across the clip's
+    frames so the motion structure survives."""
+
+    def __init__(
+        self,
+        dump_dir: Path,
+        clip_len: int = 8,
+        base_hw: Tuple[int, int] = (64, 64),
+        seed: int = 0,
+        preload: bool = True,
+    ):
+        self.files = sorted(Path(dump_dir).glob("*_clip.npz"))
+        if not self.files:
+            raise FileNotFoundError(f"no *_clip.npz under {dump_dir}")
+        self.clip_len = clip_len
+        self.base_hw = base_hw
+        self.rng = np.random.default_rng(seed)
+        self._cache: Optional[List[dict]] = None
+        if preload:
+            self._cache = []
+            for f in self.files:
+                loaded = np.load(f)
+                keys = [k for k in loaded.files if k != "_meta"]
+                self._cache.append({k: np.asarray(loaded[k]) for k in keys})
+
+    def _sample(self, idx: int) -> dict:
+        if self._cache is not None:
+            return self._cache[idx]
+        loaded = np.load(self.files[idx])
+        return {k: loaded[k] for k in loaded.files if k != "_meta"}
+
+    def __iter__(self) -> Iterator[List[np.ndarray]]:
+        while True:
+            data = self._sample(int(self.rng.integers(len(self.files))))
+            keys = list(data.keys())
+            t_total = data[keys[0]].shape[0]
+            t0 = int(self.rng.integers(0, max(t_total - self.clip_len, 0) + 1))
+            h0, w0 = self.base_hw
+            fh, fw = data[keys[0]].shape[2], data[keys[0]].shape[3]
+            align = 2 ** (len(keys) - 1)
+            y = int(self.rng.integers(0, max(fh - h0, 0) // align + 1)) * align
+            x = int(self.rng.integers(0, max(fw - w0, 0) // align + 1)) * align
+            out = []
+            ch, cw, cy, cx = h0, w0, y, x
+            for k in keys:
+                lvl = data[k][t0 : t0 + self.clip_len]  # [T,C,H,W]
+                pad_h = max(cy + ch - lvl.shape[2], 0)
+                pad_w = max(cx + cw - lvl.shape[3], 0)
+                if pad_h or pad_w:
+                    lvl = np.pad(lvl, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
+                crop = lvl[:, :, cy : cy + ch, cx : cx + cw]
+                out.append(np.transpose(crop, (0, 2, 3, 1)).astype(np.float32))
+                ch, cw = -(-ch // 2), -(-cw // 2)
+                cy, cx = cy // 2, cx // 2
+            yield out
+
+
 class SyntheticClipSource:
     """Synthetic temporally-correlated clips for the temporal codec:
     [T,H,W,C] levels per sample (translation motion + small innovation)."""

@@ -1,18 +1,39 @@
 #!/usr/bin/env bash
 # MPEG-OIV6 (5k stills) x L-MSFC sweep, OpenImages-protocol mAP@0.5.
 # Equivalent of scripts/evaluation/mpeg_oiv6/eval_on_*.sh.
+#
+# Env overrides:
+#   LMBDAS_OVERRIDE="0.5 4.0 32.0 256.0"  lambda grid (checkpoint dir names)
+#   CODEC_ARGS="codec.settings.latent_stride_div=1"  extra codec settings
+#   WITH_BYPASS=1   also run the uncompressed (bypass) upper bound
 set -euo pipefail
 DATA_ROOT=${1:-./data/mpeg-oiv6}
 OUT_ROOT=${2:-./runs/oiv6_lmsfc}
 CKPT_ROOT=${3:-./checkpoints}
 TASK=${4:-detection}   # detection | segmentation
-LMBDAS=(0.0125 0.025 0.05 0.1)
+read -r -a LMBDAS <<< "${LMBDAS_OVERRIDE:-0.0125 0.025 0.05 0.1}"
+CODEC_ARGS=${CODEC_ARGS:-}
+WITH_BYPASS=${WITH_BYPASS:-0}
 
 ARCH=faster_rcnn_R_50_FPN_3x
 EVAL=OIC-EVAL
 if [ "$TASK" = "segmentation" ]; then
   ARCH=mask_rcnn_R_50_FPN_3x
   EVAL=COCO-EVAL
+fi
+
+if [ "$WITH_BYPASS" = "1" ]; then
+  python -m lmsfc_tpu.run.eval_split_inference \
+    --config cfgs/eval_split_inference_example.yaml \
+    vision_model.arch="${ARCH}" \
+    dataset.datacatalog=MPEGOIV6 \
+    dataset.config.root="${DATA_ROOT}" \
+    pipeline.type=image \
+    evaluator.type="${EVAL}" \
+    codec.type=bypass \
+    pipeline.output_dir="${OUT_ROOT}/bypass" \
+    pipeline.codec_output_dir="${OUT_ROOT}/bypass/codec" \
+    misc.overwrite_results=true
 fi
 
 for i in "${!LMBDAS[@]}"; do
@@ -26,6 +47,7 @@ for i in "${!LMBDAS[@]}"; do
     evaluator.type="${EVAL}" \
     codec.settings.qp="${q}" \
     codec.settings.checkpoint_dir="${CKPT_ROOT}/q${q}_lmbda${LMBDAS[$i]}" \
+    ${CODEC_ARGS} \
     pipeline.output_dir="${OUT_ROOT}/q${q}" \
     pipeline.codec_output_dir="${OUT_ROOT}/q${q}/codec" \
     misc.overwrite_results=true

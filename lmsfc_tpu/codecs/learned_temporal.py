@@ -61,6 +61,7 @@ class LMSFCTemporalCodec(MeshJitCache):
         hyper_filters: int = 128,
         out_channels: Sequence[int] = (256, 256, 256, 256),
         intra_period: int = 8,
+        latent_stride_div: int = 2,
         checkpoint_dir: Optional[str] = None,
         params: Optional[Dict] = None,
         seed: int = 0,
@@ -86,6 +87,7 @@ class LMSFCTemporalCodec(MeshJitCache):
             hyper_filters=hyper_filters,
             intra_period=self.intra_period,
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+            latent_stride_div=int(latent_stride_div),
         )
         self._params = params
         self._params_on_device = False

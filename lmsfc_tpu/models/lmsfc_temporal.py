@@ -65,6 +65,7 @@ class LMSFCv2Temporal(nn.Module):
     hyper_filters: int = 128
     intra_period: int = 8
     dtype: jnp.dtype = jnp.bfloat16
+    latent_stride_div: int = 2  # 1 = high-rate stride-32 latent (see lmsfc.py)
 
     def setup(self):
         self.base = LMSFCv2(
@@ -73,6 +74,7 @@ class LMSFCv2Temporal(nn.Module):
             latent_filters=self.latent_filters,
             hyper_filters=self.hyper_filters,
             dtype=self.dtype,
+            latent_stride_div=self.latent_stride_div,
         )
         self.predictor = TemporalPredictor(self.latent_filters, self.dtype)
         self.gaussian = GaussianConditional()

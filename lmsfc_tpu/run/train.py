@@ -50,7 +50,8 @@ def train_rate_point(
         from ..models.lmsfc_temporal import LMSFCv2Temporal
 
         model = LMSFCv2Temporal(
-            intra_period=t.get("intra_period", 8), **common
+            intra_period=t.get("intra_period", 8),
+            latent_stride_div=t.get("latent_stride_div", 2), **common
         )
     else:
         model = LMSFCv2(

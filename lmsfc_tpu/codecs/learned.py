@@ -661,11 +661,20 @@ class LMSFCCodec(MeshJitCache):
                 yi_i, mn_i = self._slice_idx_fn(i)(self.params, sup)
                 yi_np = np.asarray(yi_i)
                 ys_np = np.empty((chunk, y_h, y_w, cs), np.int16)
-                for j in range(cnt):
+
+                # frames are independent within a slice: fan the rANS
+                # decodes over a pool (the C coder releases the GIL —
+                # mirrors encode's pooling; VERDICT r2 item 5)
+                def _dec_frame(j, i=i, s=s, yi_np=yi_np, ys_np=ys_np):
                     ys_np[j] = self._dec.decode_with_indexes(
                         y_streams[s + j][i], yi_np[j].ravel(),
                         gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
                     ).reshape(y_h, y_w, cs)
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor() as pool:
+                    list(pool.map(_dec_frame, range(cnt)))
                 for j in range(cnt, chunk):  # pad rows mirror encoder's
                     ys_np[j] = ys_np[cnt - 1]
                 y_hat_parts.append(

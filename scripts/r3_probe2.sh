@@ -6,6 +6,7 @@
 # variant before committing to the full round-3 training grid.
 set -e -o pipefail
 cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 
 COMMON="training.feature_dump_dir=data/train_features training.preload=true
 training.num_filters=192 training.latent_filters=192 training.hyper_filters=128

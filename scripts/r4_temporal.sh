@@ -6,6 +6,7 @@
 # R-D artifact.
 set -e -o pipefail
 cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 
 STEPS=${STEPS:-12000}
 CLIPS=${CLIPS:-12}

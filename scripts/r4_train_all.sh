@@ -13,6 +13,7 @@
 #   4. rd_eval of everything -> RD_r04.json
 set -e -o pipefail
 cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 
 STEPS_SINGLE=${STEPS_SINGLE:-25000}
 STEPS_JOINT=${STEPS_JOINT:-50000}

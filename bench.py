@@ -14,9 +14,10 @@ Also measured and reported on stderr:
   * a GDN Pallas-vs-XLA equivalence check on the real device.
 
 vs_baseline: the reference publishes no FCM throughput figure
-(BASELINE.md "published": {}); the divisor is an ESTIMATE of 25 features/s
-for the torch/A100 reference path, clearly labeled as such — treat
-vs_baseline as indicative, value as the measurement.
+(BASELINE.md "published": {}); since round 3 the divisor is ROUND 2's
+measured 57.42 f/s on this same box (BENCH_r02.json) — round-over-round
+progress, a measurement on both sides (the r1/r2 assumed-A100 constant is
+retired per VERDICT r2 weak #7).
 
 Measurement notes (axon relay): block_until_ready returns early, so device
 loops chain a scalar carry and use one float() readback as the barrier;
@@ -30,7 +31,11 @@ import statistics
 import sys
 import time
 
-ASSUMED_REF_FPS = 25.0  # ESTIMATE, not a measurement (see module docstring)
+# vs_baseline divisor: the ROUND-2 MEASURED e2e number on this same box
+# (BENCH_r02.json: 57.42 f/s). VERDICT r2 weak #7 retired the assumed
+# 25 f/s A100 constant — round-over-round progress on identical hardware
+# is the only ratio that is a measurement on both sides.
+R2_MEASURED_FPS = 57.42
 V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip (public spec)
 
 # SFU-HW class-C geometry (e.g. BasketballDrill 544x960): strides 4..32
@@ -326,9 +331,9 @@ def main() -> None:
                 "metric": "lmsfc_e2e_codec_features_per_sec_per_chip",
                 "value": round(e2e_fps, 2),
                 "unit": "features/s",
-                # divisor is the ESTIMATED 25 f/s torch/A100 figure (no
-                # published baseline exists) — indicative only
-                "vs_baseline": round(e2e_fps / ASSUMED_REF_FPS, 3),
+                # divisor is round-2's MEASURED 57.42 f/s on this box
+                # (same path, same hardware — see module docstring)
+                "vs_baseline": round(e2e_fps / R2_MEASURED_FPS, 3),
             }
         )
     )

@@ -1,0 +1,97 @@
+"""Assemble the final RD_r04 artifact (VERDICT r2 items 1 + 4).
+
+Inputs (all produced by this round's eval scripts on the SAME held-out
+real-NN1 feature sequence):
+  RD_r04_plain.json     singles + plain gain-unit joint (stride-32)
+  RD_r04_charm.json     singles + ChARM(4)+LRP joint (stride-32)
+  RD_r04_temporal.json  temporal vs intra on the motion sequence (optional)
+  runs/probe_eval.json / runs/probe_hr_eval.json  rate-saturation probes
+
+Output RD_r04.json: curves, BD-rate(joint vs singles), the headline
+BD-rate(ChARM vs plain joint), temporal section, and the rate-range
+saturation analysis that documents why the grid tops out where it does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _bd(tools, ref, test):
+    if len(ref) < 4 or len(test) < 4:
+        return None
+    r1, q1 = zip(*sorted(map(tuple, ref)))
+    r2, q2 = zip(*sorted(map(tuple, test)))
+    try:
+        return tools(r1, q1, r2, q2)
+    except ValueError:
+        return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--plain", default="RD_r04_plain.json")
+    ap.add_argument("--charm", default="RD_r04_charm.json")
+    ap.add_argument("--temporal", default="RD_r04_temporal.json")
+    ap.add_argument("--out", default="RD_r04.json")
+    args = ap.parse_args()
+
+    from lmsfc_tpu.tools.bdrate import bd_rate
+
+    plain = json.loads(Path(args.plain).read_text())
+    charm = json.loads(Path(args.charm).read_text())
+    report = {
+        "protocol": {
+            "eval": plain["eval"],
+            "rate_range_note": (
+                "lambda grid [0.5,4,32,256] with the stride-32 latent "
+                "(latent_stride_div=1), calibrated by probe runs: the "
+                "stride-64 architecture saturates at ~0.11 eval bpp and "
+                "stride-32 at ~0.3 (runs/probe_eval.json, "
+                "runs/probe_hr_eval.json) — the transform's projection "
+                "floor, not the entropy model, caps useful feature-codec "
+                "rates below the image-domain anchors' 0.9 bpp top end."
+            ),
+        },
+        "curves": {
+            "single_r4": sorted(map(tuple, plain["curves"]["single"])),
+            "joint_gain_r4": sorted(map(tuple, plain["curves"]["joint"])),
+            "joint_gain_charm_lrp_r4": sorted(map(tuple, charm["curves"]["joint"])),
+        },
+        "rows": {"plain": plain["rows"], "charm": charm["rows"]},
+    }
+    s = report["curves"]["single_r4"]
+    j = report["curves"]["joint_gain_r4"]
+    c = report["curves"]["joint_gain_charm_lrp_r4"]
+    report["bd_rate_plain_joint_vs_single_pct"] = _bd(bd_rate, s, j)
+    report["bd_rate_charm_vs_single_pct"] = _bd(bd_rate, s, c)
+    report["bd_rate_charm_vs_plain_joint_pct"] = _bd(bd_rate, j, c)
+
+    tpath = Path(args.temporal)
+    if tpath.exists():
+        t = json.loads(tpath.read_text())
+        report["temporal"] = {
+            "curves": t["curves"],
+            "bd_rate_temporal_vs_intra_pct": t.get("bd_rate_temporal_vs_intra_pct"),
+            "predictor_savings": t.get("predictor_savings"),
+            "eval": t.get("eval"),
+        }
+
+    for p in ("runs/probe_eval.json", "runs/probe_hr_eval.json"):
+        if Path(p).exists():
+            report.setdefault("saturation_probes", {})[p] = json.loads(
+                Path(p).read_text()
+            )
+
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(json.dumps({k: v for k, v in report.items() if "bd_rate" in k}, indent=2))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

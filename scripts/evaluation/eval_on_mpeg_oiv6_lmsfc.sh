@@ -31,6 +31,7 @@ if [ "$WITH_BYPASS" = "1" ]; then
     pipeline.type=image \
     evaluator.type="${EVAL}" \
     codec.type=bypass \
+    ${CODEC_ARGS} \
     pipeline.output_dir="${OUT_ROOT}/bypass" \
     pipeline.codec_output_dir="${OUT_ROOT}/bypass/codec" \
     misc.overwrite_results=true

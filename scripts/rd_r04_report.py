@@ -41,7 +41,7 @@ def main() -> None:
     ap.add_argument("--out", default="RD_r04.json")
     args = ap.parse_args()
 
-    from lmsfc_tpu.tools.bdrate import bd_rate
+    from lmsfc_tpu.tools.bdrate import bd_accuracy, bd_rate
 
     plain = json.loads(Path(args.plain).read_text())
     charm = json.loads(Path(args.charm).read_text())
@@ -68,9 +68,34 @@ def main() -> None:
     s = report["curves"]["single_r4"]
     j = report["curves"]["joint_gain_r4"]
     c = report["curves"]["joint_gain_charm_lrp_r4"]
-    report["bd_rate_plain_joint_vs_single_pct"] = _bd(bd_rate, s, j)
-    report["bd_rate_charm_vs_single_pct"] = _bd(bd_rate, s, c)
-    report["bd_rate_charm_vs_plain_joint_pct"] = _bd(bd_rate, j, c)
+    def _bd_rate_guarded(ref, test):
+        # The cubic quality->log-rate fit explodes when a curve's quality
+        # range is nearly flat (the plain joint saturates at ~38.85 dB for
+        # its top two points); don't publish a number from an
+        # ill-conditioned fit.
+        v = _bd(bd_rate, ref, test)
+        if v is not None and abs(v) > 500.0:
+            return {"value_pct": v, "ill_conditioned": True, "note": (
+                "quality range of a curve is near-flat; cubic Bjontegaard "
+                "fit diverges — use the BD-PSNR keys instead")}
+        return v
+
+    report["bd_rate_plain_joint_vs_single_pct"] = _bd_rate_guarded(s, j)
+    report["bd_rate_charm_vs_single_pct"] = _bd_rate_guarded(s, c)
+    report["bd_rate_charm_vs_plain_joint_pct"] = _bd_rate_guarded(j, c)
+    # BD-PSNR (dB at equal rate) — defined even when a curve Pareto-dominates
+    # so hard that the quality ranges stop overlapping and BD-rate is
+    # undefined (the classic Bjontegaard overlap requirement).
+    report["bd_psnr_plain_joint_vs_single_db"] = _bd(bd_accuracy, s, j)
+    report["bd_psnr_charm_vs_single_db"] = _bd(bd_accuracy, s, c)
+    report["bd_psnr_charm_vs_plain_joint_db"] = _bd(bd_accuracy, j, c)
+    if report["bd_rate_plain_joint_vs_single_pct"] is None:
+        report["bd_rate_note"] = (
+            "joint-vs-single BD-rate undefined: the joint curves' PSNR "
+            "range sits entirely above the singles' (Pareto dominance; "
+            "joint also trained 2x the steps) — BD-PSNR quantifies the "
+            "gap instead"
+        )
 
     tpath = Path(args.temporal)
     if tpath.exists():

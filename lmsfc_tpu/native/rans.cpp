@@ -26,6 +26,8 @@
 namespace {
 
 constexpr uint32_t kPrecision = 16;
+// coarse decode-LUT bucket bits: 2^10 buckets/row x int16 = 2 KB/row
+constexpr uint32_t kCoarseBits = 10;
 constexpr uint32_t kBypassPrecision = 4;
 constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
 constexpr uint64_t kRansL = 1ull << 31;
@@ -185,29 +187,39 @@ int64_t rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
   return nbytes;
 }
 
-// Build the cum->symbol lookup table (n_cdfs x 2^16 int16) into a caller
-// buffer, so multi-frame decodes pay the ~n_cdfs*65536 writes ONCE per CDF
-// table instead of per call. Returns 0 on success, -1 on error.
-int64_t rans_lut_build(const int32_t* cdfs, int32_t cdf_stride,
-                       const int32_t* cdf_lengths, int32_t n_cdfs,
-                       int16_t* lut) {
+// Build the coarse cum->symbol lookup table (n_cdfs x 2^kCoarseBits int16)
+// into a caller buffer. Each bucket stores the symbol containing the
+// bucket's LOWEST cum value; decode scans forward at most a few entries.
+// A full 2^16-per-row table (8 MB at 64 scale rows) is DRAM-latency bound —
+// random cum values miss L2 on nearly every symbol and cap decode at
+// ~6 Msym/s on a 1-core host. The coarse table is 64x smaller (L2-resident)
+// and the forward scan touches the already-hot cdf row, restoring decode to
+// encode-side throughput. Returns 0 on success, -1 on error.
+int64_t rans_lut_build_coarse(const int32_t* cdfs, int32_t cdf_stride,
+                              const int32_t* cdf_lengths, int32_t n_cdfs,
+                              int16_t* lut) {
   for (int32_t c = 0; c < n_cdfs; ++c) {
     const int32_t* cdf = cdfs + static_cast<int64_t>(c) * cdf_stride;
     const int32_t n_sym = cdf_lengths[c] - 1;  // symbols 0..n_sym-1
-    // LUT rows hold int16 symbol ids; an oversized table must fail loudly
-    // rather than wrap and decode garbage
+    // LUT entries hold int16 symbol ids; an oversized table must fail
+    // loudly rather than wrap and decode garbage
     if (n_sym - 1 > INT16_MAX) return -1;
-    int16_t* row = lut + (static_cast<size_t>(c) << kPrecision);
-    for (int32_t s = 0; s < n_sym; ++s) {
-      for (int32_t v = cdf[s]; v < cdf[s + 1]; ++v) row[v] = static_cast<int16_t>(s);
+    if (n_sym < 1) return -1;
+    int16_t* row = lut + (static_cast<size_t>(c) << kCoarseBits);
+    int32_t s = 0;
+    for (uint32_t b = 0; b < (1u << kCoarseBits); ++b) {
+      const uint32_t cum0 = b << (kPrecision - kCoarseBits);
+      while (s < n_sym - 1 && static_cast<uint32_t>(cdf[s + 1]) <= cum0) ++s;
+      row[b] = static_cast<int16_t>(s);
     }
   }
   return 0;
 }
 
 // Returns 0 on success, -1 on error. Writes n decoded values to out_symbols.
-// prebuilt_lut: optional rans_lut_build output; pass NULL to fall back to a
-// per-call LUT (large n) or per-symbol binary search (small n).
+// prebuilt_lut: optional rans_lut_build_coarse output; pass NULL to fall
+// back to a per-call coarse LUT (large n) or per-symbol binary search
+// (small n).
 int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
                                  const int32_t* indexes, int64_t n,
                                  const int32_t* cdfs, int32_t cdf_stride,
@@ -223,10 +235,12 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
   std::vector<int16_t> lut_local;
   const int16_t* lut = prebuilt_lut;
   bool use_lut = lut != nullptr;
-  if (!use_lut && n >= static_cast<int64_t>(n_cdfs) * 4096) {
-    lut_local.resize(static_cast<size_t>(n_cdfs) << kPrecision);
-    if (rans_lut_build(cdfs, cdf_stride, cdf_lengths, n_cdfs,
-                       lut_local.data()) != 0)
+  // the coarse table is cheap to build (2^10 writes/row), so it pays off
+  // for any non-trivial payload even without a caller-side cache
+  if (!use_lut && n >= static_cast<int64_t>(n_cdfs) * 64) {
+    lut_local.resize(static_cast<size_t>(n_cdfs) << kCoarseBits);
+    if (rans_lut_build_coarse(cdfs, cdf_stride, cdf_lengths, n_cdfs,
+                              lut_local.data()) != 0)
       return -1;
     lut = lut_local.data();
     use_lut = true;
@@ -246,7 +260,13 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
 
     int32_t value;
     if (use_lut) {
-      value = lut[(static_cast<size_t>(idx) << kPrecision) | cum];
+      // coarse bucket gives a lower bound; scan forward on the (hot) cdf
+      // row. cdf[n_sym] == 1<<kPrecision > cum normally ends the scan; the
+      // explicit max_value bound keeps a malformed row from overrunning.
+      value = lut[(static_cast<size_t>(idx) << kCoarseBits) |
+                  (cum >> (kPrecision - kCoarseBits))];
+      while (value < max_value && static_cast<uint32_t>(cdf[value + 1]) <= cum)
+        ++value;
     } else {
       // find s with cdf[s] <= cum < cdf[s+1]
       int32_t lo = 0, hi = max_value;  // symbols 0..max_value inclusive

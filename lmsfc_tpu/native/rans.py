@@ -54,9 +54,9 @@ def _load() -> ctypes.CDLL:
             u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int32,
             i32p, i32p, ctypes.c_int32, i32p, i16p,
         ]
-        lib.rans_lut_build.restype = ctypes.c_int64
-        lib.rans_lut_build.argtypes = [i32p, ctypes.c_int32, i32p,
-                                       ctypes.c_int32, i16p]
+        lib.rans_lut_build_coarse.restype = ctypes.c_int64
+        lib.rans_lut_build_coarse.argtypes = [i32p, ctypes.c_int32, i32p,
+                                              ctypes.c_int32, i16p]
         _lib = lib
     return _lib
 
@@ -105,9 +105,10 @@ class RansEncoder:
 
 
 class RansDecoder:
-    """Decoder with a per-table symbol-LUT cache: the ~n_cdfs*65536 int16
-    cum->symbol table is built once per CDF table and reused across frames
-    (multi-frame video decode previously rebuilt it every call)."""
+    """Decoder with a per-table coarse-LUT cache: a 2^10-bucket cum->symbol
+    lower-bound row per CDF (2 KB/row, L2-resident — a full 2^16 row is 128
+    KB/row and DRAM-latency bound), built once per CDF table and reused
+    across frames."""
 
     def __init__(self):
         self._lut_cache = {}
@@ -117,15 +118,15 @@ class RansDecoder:
         lut = self._lut_cache.get(key)
         if lut is None:
             lib = _load()
-            lut = np.empty(cdfs.shape[0] << 16, np.int16)
-            rc = lib.rans_lut_build(
+            lut = np.empty(cdfs.shape[0] << 10, np.int16)
+            rc = lib.rans_lut_build_coarse(
                 _ptr(cdfs, ctypes.c_int32), ctypes.c_int32(cdfs.shape[1]),
                 _ptr(cdf_lengths, ctypes.c_int32),
                 ctypes.c_int32(cdfs.shape[0]),
                 lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             )
             if rc != 0:
-                raise RuntimeError("rans_lut_build failed (oversized table?)")
+                raise RuntimeError("rans_lut_build_coarse failed (oversized table?)")
             # key on the ORIGINAL buffer address: hold a reference so the
             # address can't be recycled while the cache entry lives
             self._lut_cache[key] = lut = (lut, cdfs)
@@ -148,9 +149,9 @@ class RansDecoder:
         buf = np.frombuffer(data, dtype=np.uint8)
         buf = np.ascontiguousarray(buf)
         out = np.empty(n, dtype=np.int32)
-        # prebuilt LUT pays off from the second call on; tiny payloads on a
-        # fresh table stay on the binary-search path
-        use_cache = n >= cdfs.shape[0] * 256 or (
+        # the coarse LUT costs ~2^10 writes/row to build, so it pays off for
+        # all but the tiniest payloads on a fresh table
+        use_cache = n >= cdfs.shape[0] * 16 or (
             (cdfs.ctypes.data, cdfs.shape) in self._lut_cache
         )
         lut = self._lut_for(cdfs, cdf_lengths) if use_cache else None

@@ -357,144 +357,136 @@ class LMSFCCodec(MeshJitCache):
         hyper_idx = None
 
         # downloads (ints only: u8 indexes + i16 symbols; the f32 latents and
-        # gaussian params never leave the device). Batched device_get —
-        # each separate host fetch pays a full link round trip (measured 2x
-        # on the relay), so chunks' planes travel together. In-flight device
-        # handles are bounded to windows of max_inflight_chunks so peak HBM
-        # stays O(window), not O(sequence) (ADVICE r2 #5).
-        z_parts: List[np.ndarray] = []
-        yi_parts: List[List[np.ndarray]] = [[] for _ in range(n_sl)]
-        ys_parts: List[List[np.ndarray]] = [[] for _ in range(n_sl)]
+        # gaussian params never leave the device). PIPELINED drain->code:
+        # a single drain worker downloads each chunk's planes (one batched
+        # device_get per chunk — separate per-plane fetches pay a full link
+        # round trip each, measured 2x on the relay) while the main thread
+        # keeps dispatching later chunks, and per-frame rANS jobs (the C
+        # coder releases the GIL; mirrors the reference's GOP-parallel
+        # anchor encoding, std_codecs.py:204-255) start the moment their
+        # chunk lands — so transfers overlap BOTH device compute and host
+        # entropy coding. In-flight device handles stay bounded to
+        # max_inflight_chunks so peak HBM is O(window), not O(sequence)
+        # (ADVICE r2 #5). Chunk-ordered futures keep the stream layout
+        # byte-identical to the previous serial form.
+        from concurrent.futures import ThreadPoolExecutor
 
-        def _drain(window):
-            k = len(window)
-            if not k:
-                return
-            flat = jax.device_get(
-                [h[1] for h in window]
-                + [yi for h in window for yi in h[2]]
-                + [ys for h in window for ys in h[3]]
-            )
-            z_parts.append(
-                np.concatenate([a[: h[0]] for a, h in zip(flat[:k], window)])
-            )
-            yi_flat = flat[k : k + k * n_sl]
-            ys_flat = flat[k + k * n_sl :]
-            # per-slice, frames concatenated across chunks (pad rows trimmed)
-            for i in range(n_sl):
-                yi_parts[i].append(np.concatenate(
-                    [yi_flat[j * n_sl + i][: window[j][0]] for j in range(k)]
-                ))
-                ys_parts[i].append(np.concatenate(
-                    [ys_flat[j * n_sl + i][: window[j][0]] for j in range(k)]
-                ))
+        code_pool = ThreadPoolExecutor()
+        drain_pool = ThreadPoolExecutor(max_workers=1)
+        z_idx_r: Optional[np.ndarray] = None  # set after the first dispatch
 
-        handles = []  # (cnt, z_sym_dev, [y_idx_dev]*n_sl, [y_sym_dev]*n_sl)
-        for s, cnt in self._chunk_iter(n_frames, chunk):
-            if len(handles) >= self.max_inflight_chunks:
-                _drain(handles)
-                handles = []
-            part = [f[s : s + cnt] for f in feats]
-            if cnt < chunk:
-                part = [
-                    jnp.concatenate([p, jnp.repeat(p[-1:], chunk - cnt, axis=0)])
-                    for p in part
-                ]
-            yc, zs_c = analysis(self.params, part)
-            if hyper_idx is None:
-                y_shape = yc.shape  # metadata only — no device sync
-                z_shape = zs_c.shape
-                y_hw = (y_shape[1], y_shape[2])
-                hyper_idx = (
-                    self._hyper_support_fn(y_hw)
-                    if self.num_slices
-                    else self._hyper_idx_fn(y_hw)
+        def _code_frame_arrays(z_np, yi_list, ys_list):
+            z_bytes = self._enc.encode_with_indexes(
+                z_np.ravel(), z_idx_r,
+                eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets,
+            )
+            y_streams = [
+                self._enc.encode_with_indexes(
+                    ys_list[i].ravel(), yi_list[i].ravel(),
+                    gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
                 )
-            if self.num_slices:
-                support0 = hyper_idx(self.params, zs_c)
-                cs = self.model.latent_filters // self.num_slices
-                y_hat_parts, yis, yss = [], [], []
-                for i in range(self.num_slices):
-                    sup = jnp.concatenate([support0] + y_hat_parts, axis=-1)
-                    yi_i, mn_i = self._slice_idx_fn(i)(self.params, sup)
-                    ys_i = sym(yc[..., i * cs : (i + 1) * cs], mn_i)
-                    y_hat_parts.append(
-                        self._deq_slice_fn(i)(self.params, sup, ys_i, mn_i)
-                    )
-                    yis.append(yi_i)
-                    yss.append(ys_i)
-                handles.append((cnt, zs_c, yis, yss))
-            else:
-                yi_c, mn_c = hyper_idx(self.params, zs_c)
-                handles.append((cnt, zs_c, [yi_c], [sym(yc, mn_c)]))
+                for i in range(n_sl)
+            ]
+            return z_bytes, y_streams
 
-        _drain(handles)
-        z_sym = np.concatenate(z_parts) if len(z_parts) > 1 else z_parts[0]
-        y_idx_sl = [
-            np.concatenate(yi_parts[i]) if len(yi_parts[i]) > 1 else yi_parts[i][0]
-            for i in range(n_sl)
-        ]
-        y_sym_sl = [
-            np.concatenate(ys_parts[i]) if len(ys_parts[i]) > 1 else ys_parts[i][0]
-            for i in range(n_sl)
-        ]
-        z_idx = np.broadcast_to(
-            np.arange(z_shape[-1], dtype=np.int32), z_sym.shape[1:]
-        )
-
-        out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
-        out_dir.mkdir(parents=True, exist_ok=True)
-        stem = f"{file_prefix}_" if file_prefix else ""
-        path = out_dir / f"{stem}{bitstream_name}.bin"
-
-        byte_sizes: List[int] = []
-        with open(path, "wb") as fd:
-            fd.write(_MAGIC)
-            write_uchars(
-                fd,
-                (_VERSION, len(names), self.chunk_frames, self.rate_idx,
-                 self.num_slices),
-            )
-            write_uints(fd, (n_frames,))
-            for name, (c, h, w) in zip(names, level_shapes):
-                nb = name.encode("ascii")
-                write_uchars(fd, (len(nb),))
-                write_bytes(fd, nb)
-                write_uints(fd, (c, h, w))
-            write_uints(fd, (y_shape[1], y_shape[2], y_shape[3]))
-            write_uints(fd, (z_shape[1], z_shape[2], z_shape[3]))
-            header_bytes = fd.tell()
-
-            # frames are independent: fan the rANS coding over a thread
-            # pool (the C coder releases the GIL; mirrors the reference's
-            # GOP-parallel anchor encoding, std_codecs.py:204-255)
-            from concurrent.futures import ThreadPoolExecutor
-
-            def _code_frame(f_idx):
-                z_bytes = self._enc.encode_with_indexes(
-                    z_sym[f_idx].ravel(), z_idx.ravel(),
-                    eb_table.cdfs, eb_table.cdf_lengths, eb_table.offsets,
+        def _drain_chunk(cnt, zs_c, yis, yss):
+            flat = jax.device_get([zs_c] + yis + yss)
+            z_np, yi_np, ys_np = flat[0], flat[1 : 1 + n_sl], flat[1 + n_sl :]
+            # pad rows (tail chunk) are simply never submitted
+            return [
+                code_pool.submit(
+                    _code_frame_arrays, z_np[j],
+                    [yi[j] for yi in yi_np], [ys[j] for ys in ys_np],
                 )
-                y_streams = [
-                    self._enc.encode_with_indexes(
-                        y_sym_sl[i][f_idx].ravel(), y_idx_sl[i][f_idx].ravel(),
-                        gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
-                    )
-                    for i in range(n_sl)
-                ]
-                return z_bytes, y_streams
+                for j in range(cnt)
+            ]
 
-            with ThreadPoolExecutor() as pool:
-                coded = list(pool.map(_code_frame, range(n_frames)))
-            for z_bytes, y_streams in coded:
-                write_uints(fd, (len(z_bytes),))
-                write_bytes(fd, z_bytes)
-                total_y = 0
-                for yb in y_streams:
-                    write_uints(fd, (len(yb),))
-                    write_bytes(fd, yb)
-                    total_y += len(yb) + 4
-                byte_sizes.append(len(z_bytes) + total_y + 4)
+        try:
+            drain_futs = []  # one per chunk, each resolving to per-frame futures
+            for s, cnt in self._chunk_iter(n_frames, chunk):
+                if len(drain_futs) >= self.max_inflight_chunks:
+                    drain_futs[len(drain_futs) - self.max_inflight_chunks].result()
+                part = [f[s : s + cnt] for f in feats]
+                if cnt < chunk:
+                    part = [
+                        jnp.concatenate([p, jnp.repeat(p[-1:], chunk - cnt, axis=0)])
+                        for p in part
+                    ]
+                yc, zs_c = analysis(self.params, part)
+                if hyper_idx is None:
+                    y_shape = yc.shape  # metadata only — no device sync
+                    z_shape = zs_c.shape
+                    y_hw = (y_shape[1], y_shape[2])
+                    hyper_idx = (
+                        self._hyper_support_fn(y_hw)
+                        if self.num_slices
+                        else self._hyper_idx_fn(y_hw)
+                    )
+                if self.num_slices:
+                    support0 = hyper_idx(self.params, zs_c)
+                    cs = self.model.latent_filters // self.num_slices
+                    y_hat_parts, yis, yss = [], [], []
+                    for i in range(self.num_slices):
+                        sup = jnp.concatenate([support0] + y_hat_parts, axis=-1)
+                        yi_i, mn_i = self._slice_idx_fn(i)(self.params, sup)
+                        ys_i = sym(yc[..., i * cs : (i + 1) * cs], mn_i)
+                        y_hat_parts.append(
+                            self._deq_slice_fn(i)(self.params, sup, ys_i, mn_i)
+                        )
+                        yis.append(yi_i)
+                        yss.append(ys_i)
+                else:
+                    yi_c, mn_c = hyper_idx(self.params, zs_c)
+                    yis, yss = [yi_c], [sym(yc, mn_c)]
+                if z_idx_r is None:
+                    z_idx_r = np.ascontiguousarray(
+                        np.broadcast_to(
+                            np.arange(z_shape[-1], dtype=np.int32), z_shape[1:]
+                        )
+                    ).ravel()
+                drain_futs.append(drain_pool.submit(_drain_chunk, cnt, zs_c, yis, yss))
+
+            # chunk-ordered frame futures -> frame-ordered coded streams
+            frame_futs = [f for df in drain_futs for f in df.result()]
+
+            out_dir = Path(codec_output_dir) if codec_output_dir else Path(".")
+            out_dir.mkdir(parents=True, exist_ok=True)
+            stem = f"{file_prefix}_" if file_prefix else ""
+            path = out_dir / f"{stem}{bitstream_name}.bin"
+
+            byte_sizes: List[int] = []
+            with open(path, "wb") as fd:
+                fd.write(_MAGIC)
+                write_uchars(
+                    fd,
+                    (_VERSION, len(names), self.chunk_frames, self.rate_idx,
+                     self.num_slices),
+                )
+                write_uints(fd, (n_frames,))
+                for name, (c, h, w) in zip(names, level_shapes):
+                    nb = name.encode("ascii")
+                    write_uchars(fd, (len(nb),))
+                    write_bytes(fd, nb)
+                    write_uints(fd, (c, h, w))
+                write_uints(fd, (y_shape[1], y_shape[2], y_shape[3]))
+                write_uints(fd, (z_shape[1], z_shape[2], z_shape[3]))
+                header_bytes = fd.tell()
+
+                for z_bytes, y_streams in (f.result() for f in frame_futs):
+                    write_uints(fd, (len(z_bytes),))
+                    write_bytes(fd, z_bytes)
+                    total_y = 0
+                    for yb in y_streams:
+                        write_uints(fd, (len(yb),))
+                        write_bytes(fd, yb)
+                        total_y += len(yb) + 4
+                    byte_sizes.append(len(z_bytes) + total_y + 4)
+        finally:
+            # idempotent on the success path (all futures resolved);
+            # on error, cancel queued work so no thread hangs on a
+            # never-submitted chunk
+            drain_pool.shutdown(wait=False, cancel_futures=True)
+            code_pool.shutdown(wait=False, cancel_futures=True)
 
         # amortize header over frames (reference amortizes its header too)
         per_frame_header = header_bytes / n_frames

@@ -285,6 +285,52 @@ def bench_temporal(n_frames: int = 16, trials: int = 2) -> float:
     return fps
 
 
+def bench_stride32(n_frames: int = 16, trials: int = 2) -> float:
+    """r4 flagship architecture (stride-32 latent, latent_stride_div=1) with
+    its own trained asset — 4x the latent pixels of the stride-64 headline
+    config, the architecture behind RD_r04's recalibrated rate points. A
+    separate stderr row: the headline metric keeps the r1/r2 geometry for
+    round-over-round comparability."""
+    import tempfile
+    from pathlib import Path
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmsfc_tpu.codecs.learned import LMSFCCodec
+
+    asset = Path(__file__).parent / "bench_assets" / "lmsfc_r4s32_q4_params.npz"
+    params = None
+    if asset.exists():
+        sys.path.insert(0, str(Path(__file__).parent / "scripts"))
+        from export_bench_params import load_bench_params
+
+        params = load_bench_params(asset)
+        log(f"stride32: trained params loaded from {asset.name}")
+    data = _smooth_features(n_frames)
+    codec = LMSFCCodec(
+        num_filters=192, latent_filters=192, hyper_filters=128,
+        latent_stride_div=1, dtype="bfloat16", chunk_frames=16, seed=0,
+        params=params,
+    )
+    data_dev = {k: jnp.asarray(v.astype(np.float16)) for k, v in data.items()}
+    _ = [float(v[0, 0, 0, 0]) for v in data_dev.values()]
+    with tempfile.TemporaryDirectory() as td:
+        out = codec.encode({"data": data_dev}, td, "warm")
+        codec.decode(out["bitstream"], td)
+        rates = []
+        for t in range(trials):
+            t0 = time.perf_counter()
+            out = codec.encode({"data": data_dev}, td, f"s{t}")
+            codec.decode(out["bitstream"], td)
+            rates.append(n_frames / (time.perf_counter() - t0))
+        bpp = sum(out["bytes"]) * 8 / (n_frames * 544 * 960)
+    fps = statistics.median(rates)
+    log(f"stride-32 flagship e2e (device-resident): {fps:.1f} f/s "
+        f"at {bpp:.4f} bits/pixel")
+    return fps
+
+
 def check_gdn_pallas() -> None:
     """On-device equivalence: Pallas GDN kernel vs the XLA reference impl
     (VERDICT r1 weak #6 — CI runs the fallback; the bench box has the TPU)."""
@@ -314,17 +360,20 @@ def main() -> None:
     check_gdn_pallas()
     dev_fps = bench_device_only()
     e2e_fps = bench_e2e()
-    charm_fps = temporal_fps = None
+    charm_fps = temporal_fps = s32_fps = None
     try:
         charm_fps = bench_charm()
         temporal_fps = bench_temporal()
+        s32_fps = bench_stride32()
     except Exception as e:  # variants must not sink the headline metric
-        log(f"charm/temporal bench failed: {e}")
+        log(f"charm/temporal/stride32 bench failed: {e}")
     log(f"summary: e2e {e2e_fps:.1f} f/s | device-only {dev_fps:.1f} f/s"
         + (f" | charm {charm_fps:.1f} f/s ({charm_fps/e2e_fps:.2f}x plain)"
            if charm_fps else "")
         + (f" | temporal {temporal_fps:.1f} f/s ({temporal_fps/e2e_fps:.2f}x plain)"
-           if temporal_fps else ""))
+           if temporal_fps else "")
+        + (f" | stride32 {s32_fps:.1f} f/s ({s32_fps/e2e_fps:.2f}x plain)"
+           if s32_fps else ""))
     print(
         json.dumps(
             {

@@ -574,44 +574,57 @@ class LMSFCCodec(MeshJitCache):
         hyper_idx = self._hyper_idx_fn((y_h, y_w))
         synthesis = self._syn_fn(shapes_hw, rate_idx)
 
-        # phase 1 (device): derive coding state per chunk through the SAME
-        # jitted program the encoder ran — y_idx downloads as u8, the means
-        # stay device-resident for the synthesis call
-        chunk_state = []  # (start, cnt, y_idx np, means dev)
-        for s, cnt in self._chunk_iter(n_frames, chunk):
-            part = z_sym_all[s : s + cnt]
-            if cnt < chunk:
-                part = np.concatenate([part, np.repeat(part[-1:], chunk - cnt, 0)])
-            yi_c, mn_c = hyper_idx(self.params, jnp.asarray(part))
-            chunk_state.append((s, cnt, yi_c, mn_c))
+        # phases 1-3 PIPELINED per chunk (mirrors encode): dispatch the
+        # hyper-idx program for every chunk up front (async), download each
+        # chunk's y_idx planes in a single drain worker (one batched
+        # device_get per chunk), start that chunk's per-frame rANS decodes
+        # the moment its indexes land, and dispatch dequant+synthesis as
+        # soon as the chunk's symbols are back — relay transfers overlap
+        # device compute AND host entropy decode. The means stay
+        # device-resident for the synthesis call; the decoded pyramid is
+        # returned as DEVICE-RESIDENT NCHW (NN-Part2 runs on the same chip,
+        # so the reference's decode->CPU->GPU round trip has no TPU
+        # analogue).
+        code_pool = ThreadPoolExecutor()
+        drain_pool = ThreadPoolExecutor(max_workers=1)
 
-        # phase 2 (host): entropy-decode the y streams
-        y_sym_all = np.empty((n_frames, y_h, y_w, y_c), np.int16)
-
-        def _dec_y(args):
-            i, y_idx_frame = args
-            y_sym_all[i] = self._dec.decode_with_indexes(
-                y_streams[i][0], np.asarray(y_idx_frame).ravel(),
+        def _dec_y_frame(f_idx, yi_frame):
+            return self._dec.decode_with_indexes(
+                y_streams[f_idx][0], yi_frame.ravel(),
                 gc_table.cdfs, gc_table.cdf_lengths, gc_table.offsets,
             ).reshape(y_h, y_w, y_c)
 
-        jobs = []
-        yi_all = jax.device_get([st[2] for st in chunk_state])  # one round trip
-        for (s, cnt, _, _), yi_np in zip(chunk_state, yi_all):
-            jobs.extend((s + j, yi_np[j]) for j in range(cnt))
-        with ThreadPoolExecutor() as pool:
-            list(pool.map(_dec_y, jobs))
+        def _drain_chunk(s, cnt, yi_c):
+            yi_np = jax.device_get(yi_c)
+            return [
+                code_pool.submit(_dec_y_frame, s + j, yi_np[j])
+                for j in range(cnt)
+            ]
 
-        # phase 3 (device): dequant + synthesis; the pyramid is returned as
-        # DEVICE-RESIDENT NCHW arrays — NN-Part2 runs on the same chip, so
-        # the reference's decode->CPU->GPU round trip has no TPU analogue.
-        recon_parts: List[List[jax.Array]] = []
-        for s, cnt, _, mn_c in chunk_state:
-            part = y_sym_all[s : s + cnt]
-            if cnt < chunk:
-                part = np.concatenate([part, np.repeat(part[-1:], chunk - cnt, 0)])
-            recon = synthesis(self.params, jnp.asarray(part), mn_c)
-            recon_parts.append([r[:cnt] for r in recon])
+        try:
+            chunk_state = []  # (start, cnt, future->frame futures, means dev)
+            for s, cnt in self._chunk_iter(n_frames, chunk):
+                part = z_sym_all[s : s + cnt]
+                if cnt < chunk:
+                    part = np.concatenate(
+                        [part, np.repeat(part[-1:], chunk - cnt, 0)]
+                    )
+                yi_c, mn_c = hyper_idx(self.params, jnp.asarray(part))
+                chunk_state.append(
+                    (s, cnt, drain_pool.submit(_drain_chunk, s, cnt, yi_c), mn_c)
+                )
+
+            recon_parts: List[List[jax.Array]] = []
+            for s, cnt, futs_fut, mn_c in chunk_state:
+                frames = [f.result() for f in futs_fut.result()]
+                # pad rows mirror the encoder's edge-repeat padding
+                frames.extend(frames[-1:] * (chunk - cnt))
+                recon = synthesis(self.params, jnp.asarray(np.stack(frames)), mn_c)
+                recon_parts.append([r[:cnt] for r in recon])
+        finally:
+            # idempotent on success; on error cancel queued work
+            drain_pool.shutdown(wait=False, cancel_futures=True)
+            code_pool.shutdown(wait=False, cancel_futures=True)
         if len(recon_parts) == 1:
             merged = recon_parts[0]
         else:

@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--plain", default="RD_r04_plain.json")
     ap.add_argument("--charm", default="RD_r04_charm.json")
     ap.add_argument("--temporal", default="RD_r04_temporal.json")
+    ap.add_argument("--plain-100k", default="RD_r04_plain100k.json")
+    ap.add_argument("--charm-100k", default="RD_r04_charm100k.json")
     ap.add_argument("--out", default="RD_r04.json")
     args = ap.parse_args()
 
@@ -96,6 +98,33 @@ def main() -> None:
             "joint also trained 2x the steps) — BD-PSNR quantifies the "
             "gap instead"
         )
+
+    # Equal-budget 100k extension of both joints (ChARM convergence
+    # ablation): if the 100k evals exist, report the same curve/BD keys at
+    # the doubled budget so the ChARM verdict isn't an under-convergence
+    # artifact of the 50k comparison.
+    p100, c100 = Path(args.plain_100k), Path(args.charm_100k)
+    if p100.exists() and c100.exists():
+        plain100 = json.loads(p100.read_text())
+        charm100 = json.loads(c100.read_text())
+        j100 = sorted(map(tuple, plain100["curves"]["joint"]))
+        c100k = sorted(map(tuple, charm100["curves"]["joint"]))
+        report["extended_100k"] = {
+            "note": (
+                "both joints resumed from their 50k checkpoints and "
+                "trained to 100k steps on the same dumps (equal budget); "
+                "singles curve unchanged (25k)"
+            ),
+            "curves": {
+                "joint_gain_100k": j100,
+                "joint_gain_charm_lrp_100k": c100k,
+            },
+            "bd_rate_charm_vs_plain_joint_pct": _bd_rate_guarded(j100, c100k),
+            "bd_psnr_charm_vs_plain_joint_db": _bd(bd_accuracy, j100, c100k),
+            "bd_psnr_joint_100k_vs_50k_db": _bd(bd_accuracy, j, j100),
+            "bd_psnr_charm_100k_vs_50k_db": _bd(bd_accuracy, c, c100k),
+            "rows": {"plain": plain100["rows"], "charm": charm100["rows"]},
+        }
 
     tpath = Path(args.temporal)
     if tpath.exists():

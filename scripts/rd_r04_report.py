@@ -38,8 +38,13 @@ def main() -> None:
     ap.add_argument("--plain", default="RD_r04_plain.json")
     ap.add_argument("--charm", default="RD_r04_charm.json")
     ap.add_argument("--temporal", default="RD_r04_temporal.json")
-    ap.add_argument("--plain-100k", default="RD_r04_plain100k.json")
-    ap.add_argument("--charm-100k", default="RD_r04_charm100k.json")
+    ap.add_argument(
+        "--extensions",
+        nargs="*",
+        default=["100k", "150k"],
+        help="budget labels N: folds in RD_r04_plain{N}.json + "
+        "RD_r04_charm{N}.json as an extended_{N} section when both exist",
+    )
     ap.add_argument("--out", default="RD_r04.json")
     args = ap.parse_args()
 
@@ -99,39 +104,46 @@ def main() -> None:
             "gap instead"
         )
 
-    # Equal-budget 100k extension of both joints (ChARM convergence
-    # ablation): if the 100k evals exist, report the same curve/BD keys at
-    # the doubled budget so the ChARM verdict isn't an under-convergence
+    # Equal-budget extensions of both joints (ChARM convergence ablation):
+    # for each budget label with both eval artifacts present, report the
+    # same curve/BD keys so the ChARM verdict isn't an under-convergence
     # artifact of the 50k comparison.
-    p100, c100 = Path(args.plain_100k), Path(args.charm_100k)
-    if p100.exists() and c100.exists():
-        plain100 = json.loads(p100.read_text())
-        charm100 = json.loads(c100.read_text())
-        j100 = sorted(map(tuple, plain100["curves"]["joint"]))
-        c100k = sorted(map(tuple, charm100["curves"]["joint"]))
-        report["extended_100k"] = {
+    for label in args.extensions:
+        pN, cN = Path(f"RD_r04_plain{label}.json"), Path(f"RD_r04_charm{label}.json")
+        if not (pN.exists() and cN.exists()):
+            continue
+        plainN = json.loads(pN.read_text())
+        charmN = json.loads(cN.read_text())
+        jN = sorted(map(tuple, plainN["curves"]["joint"]))
+        cN_ = sorted(map(tuple, charmN["curves"]["joint"]))
+        report[f"extended_{label}"] = {
             "note": (
-                "both joints resumed from their 50k checkpoints and "
-                "trained to 100k steps on the same dumps (equal budget); "
-                "singles curve unchanged (25k)"
+                f"both joints resumed from their prior checkpoints and "
+                f"trained to {label} steps on the same dumps (equal "
+                f"budget); singles curve unchanged (25k)"
             ),
             "curves": {
-                "joint_gain_100k": j100,
-                "joint_gain_charm_lrp_100k": c100k,
+                f"joint_gain_{label}": jN,
+                f"joint_gain_charm_lrp_{label}": cN_,
             },
-            "bd_rate_charm_vs_plain_joint_pct": _bd_rate_guarded(j100, c100k),
-            "bd_psnr_charm_vs_plain_joint_db": _bd(bd_accuracy, j100, c100k),
-            "bd_psnr_joint_100k_vs_50k_db": _bd(bd_accuracy, j, j100),
-            "bd_psnr_charm_100k_vs_50k_db": _bd(bd_accuracy, c, c100k),
-            "rows": {"plain": plain100["rows"], "charm": charm100["rows"]},
+            "bd_rate_charm_vs_plain_joint_pct": _bd_rate_guarded(jN, cN_),
+            "bd_psnr_charm_vs_plain_joint_db": _bd(bd_accuracy, jN, cN_),
+            f"bd_psnr_joint_{label}_vs_50k_db": _bd(bd_accuracy, j, jN),
+            f"bd_psnr_charm_{label}_vs_50k_db": _bd(bd_accuracy, c, cN_),
+            "rows": {"plain": plainN["rows"], "charm": charmN["rows"]},
         }
 
     tpath = Path(args.temporal)
     if tpath.exists():
         t = json.loads(tpath.read_text())
+        ti = sorted(map(tuple, t["curves"]["intra"]))
+        tt = sorted(map(tuple, t["curves"]["temporal"]))
         report["temporal"] = {
             "curves": t["curves"],
             "bd_rate_temporal_vs_intra_pct": t.get("bd_rate_temporal_vs_intra_pct"),
+            # defined even when the quality ranges don't overlap (the
+            # short-budget residual coder sits below the intra ceiling)
+            "bd_psnr_temporal_vs_intra_db": _bd(bd_accuracy, ti, tt),
             "predictor_savings": t.get("predictor_savings"),
             "eval": t.get("eval"),
         }

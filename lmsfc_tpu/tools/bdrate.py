@@ -52,6 +52,53 @@ def bd_rate(
     return float((10 ** (avg_t - avg_a) - 1) * 100)
 
 
+def bd_rate_pchip(
+    rate_anchor: Sequence[float],
+    acc_anchor: Sequence[float],
+    rate_test: Sequence[float],
+    acc_test: Sequence[float],
+) -> float:
+    """BD-rate via monotone piecewise-cubic-Hermite (PCHIP) interpolation.
+
+    The modern JVET practice: interpolate log-rate as a shape-preserving
+    PCHIP function of accuracy instead of a global cubic polynomial. On
+    near-flat quality curves the global cubic's extrapolation between
+    knots can diverge by orders of magnitude; PCHIP stays bounded by the
+    data, so it is the variant to quote when `bd_rate` is ill-conditioned.
+    Requires >=2 strictly-increasing accuracy points per curve after
+    dropping non-monotone (rate-increasing, accuracy-decreasing) tails.
+    """
+    from scipy.interpolate import PchipInterpolator
+
+    def _fit(rates, accs):
+        r = np.log10(np.asarray(rates, np.float64))
+        a = np.asarray(accs, np.float64)
+        order = np.argsort(a)
+        r, a = r[order], a[order]
+        # PCHIP needs strictly increasing x: keep the cheapest rate at ties
+        keep_a: List[float] = []
+        keep_r: List[float] = []
+        for ai, ri in zip(a, r):
+            if keep_a and ai <= keep_a[-1] + 1e-12:
+                keep_r[-1] = min(keep_r[-1], ri)
+            else:
+                keep_a.append(float(ai))
+                keep_r.append(float(ri))
+        if len(keep_a) < 2:
+            raise ValueError("need >=2 distinct accuracy points")
+        return PchipInterpolator(np.asarray(keep_a), np.asarray(keep_r)), keep_a
+
+    fa, aa = _fit(rate_anchor, acc_anchor)
+    ft, at = _fit(rate_test, acc_test)
+    lo = max(aa[0], at[0])
+    hi = min(aa[-1], at[-1])
+    if hi <= lo:
+        raise ValueError("accuracy ranges do not overlap")
+    avg_a = fa.integrate(lo, hi) / (hi - lo)
+    avg_t = ft.integrate(lo, hi) / (hi - lo)
+    return float((10 ** (avg_t - avg_a) - 1) * 100)
+
+
 def bd_accuracy(
     rate_anchor: Sequence[float],
     acc_anchor: Sequence[float],
@@ -94,7 +141,8 @@ def main() -> None:
     anchor, test = sys.argv[1:3]
     ra, aa = _read_curve(Path(anchor))
     rt, at = _read_curve(Path(test))
-    print(f"BD-rate: {bd_rate(ra, aa, rt, at):+.2f}%")
+    print(f"BD-rate (cubic): {bd_rate(ra, aa, rt, at):+.2f}%")
+    print(f"BD-rate (pchip): {bd_rate_pchip(ra, aa, rt, at):+.2f}%")
     print(f"BD-accuracy: {bd_accuracy(ra, aa, rt, at):+.4f}")
 
 

@@ -4,7 +4,7 @@ import json
 import numpy as np
 import pytest
 
-from lmsfc_tpu.tools.bdrate import bd_accuracy, bd_rate
+from lmsfc_tpu.tools.bdrate import bd_accuracy, bd_rate, bd_rate_pchip
 from lmsfc_tpu.tools.aggregate import cttc_csv, overall_mota
 
 
@@ -27,6 +27,31 @@ class TestBDRate:
         a2 = [62, 72, 78, 82]
         assert bd_rate(r, a, r, a2) < 0
         assert bd_accuracy(r, a, r, a2) == pytest.approx(2.0, abs=0.2)
+
+    def test_pchip_matches_cubic_on_well_conditioned_curves(self):
+        r = [0.1, 0.2, 0.4, 0.8]
+        a = [60, 70, 76, 80]
+        r2 = [x / 2 for x in r]
+        assert bd_rate_pchip(r, a, r, a) == pytest.approx(0.0, abs=1e-9)
+        assert bd_rate_pchip(r, a, r2, a) == pytest.approx(-50.0, abs=0.5)
+
+    def test_pchip_stays_bounded_on_flat_quality_curves(self):
+        # Near-flat quality tails make the global cubic fit diverge; the
+        # monotone-PCHIP variant must stay at a physically sensible scale
+        # (the RD_r04 150k joint curves are the motivating case).
+        rj = [0.0505, 0.1377, 0.2726, 0.4091]
+        qj = [38.646, 39.241, 39.394, 39.411]
+        rc = [0.0474, 0.1066, 0.2483, 0.3293]
+        qc = [38.695, 39.193, 39.443, 39.489]
+        v = bd_rate_pchip(rj, qj, rc, qc)
+        assert -60.0 < v < 0.0
+        # the global cubic overshoots far beyond the data-bounded estimate
+        assert bd_rate(rj, qj, rc, qc) < v - 50.0
+
+    def test_pchip_dedupes_quality_ties(self):
+        # two points at identical accuracy: keep the cheaper rate, no raise
+        v = bd_rate_pchip([0.1, 0.2, 0.3], [60, 70, 70], [0.05, 0.1, 0.15], [60, 65, 70])
+        assert np.isfinite(v) and v < 0
 
 
 class TestAggregate:

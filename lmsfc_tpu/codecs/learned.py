@@ -602,8 +602,23 @@ class LMSFCCodec(MeshJitCache):
             ]
 
         try:
-            chunk_state = []  # (start, cnt, future->frame futures, means dev)
+            # same bounded in-flight window as encode (ADVICE r3 #1): at most
+            # max_inflight_chunks chunks hold device-resident means/symbols at
+            # once — the oldest chunk is synthesized (freeing its handles)
+            # before a new one is dispatched, so peak HBM is O(window)
+            chunk_state = []  # (cnt, future->frame futures, means dev)
+            recon_parts: List[List[jax.Array]] = []
+
+            def _synthesize(cnt, futs_fut, mn_c):
+                frames = [f.result() for f in futs_fut.result()]
+                # pad rows mirror the encoder's edge-repeat padding
+                frames.extend(frames[-1:] * (chunk - cnt))
+                recon = synthesis(self.params, jnp.asarray(np.stack(frames)), mn_c)
+                recon_parts.append([r[:cnt] for r in recon])
+
             for s, cnt in self._chunk_iter(n_frames, chunk):
+                if len(chunk_state) >= self.max_inflight_chunks:
+                    _synthesize(*chunk_state.pop(0))
                 part = z_sym_all[s : s + cnt]
                 if cnt < chunk:
                     part = np.concatenate(
@@ -611,16 +626,10 @@ class LMSFCCodec(MeshJitCache):
                     )
                 yi_c, mn_c = hyper_idx(self.params, jnp.asarray(part))
                 chunk_state.append(
-                    (s, cnt, drain_pool.submit(_drain_chunk, s, cnt, yi_c), mn_c)
+                    (cnt, drain_pool.submit(_drain_chunk, s, cnt, yi_c), mn_c)
                 )
-
-            recon_parts: List[List[jax.Array]] = []
-            for s, cnt, futs_fut, mn_c in chunk_state:
-                frames = [f.result() for f in futs_fut.result()]
-                # pad rows mirror the encoder's edge-repeat padding
-                frames.extend(frames[-1:] * (chunk - cnt))
-                recon = synthesis(self.params, jnp.asarray(np.stack(frames)), mn_c)
-                recon_parts.append([r[:cnt] for r in recon])
+            for state in chunk_state:
+                _synthesize(*state)
         finally:
             # idempotent on success; on error cancel queued work
             drain_pool.shutdown(wait=False, cancel_futures=True)

@@ -249,9 +249,19 @@ def cmd_metrics_eval(args) -> None:
     }
     if args.bitstream_dir:
         bits = [p for p in Path(args.bitstream_dir).iterdir() if p.is_file()]
-        matched = [p for p in bits if p.stem.split(".")[0] in set(stems)]
-        # per-image bitstreams: count only the evaluated pairs; otherwise
-        # (single sequence-level stream) keep the whole dir
+        # per-image bitstreams are matched by image-stem PREFIX (covers both
+        # `<stem>.bin` and suffixed names like `<stem>_bitstream.bin`, which
+        # the old exact split('.')[0] match silently missed — ADVICE r3 #4);
+        # longest stems first so `img_10...` never matches stem `img_1`
+        stem_set = sorted(set(stems), key=len, reverse=True)
+        matched = [
+            p for p in bits
+            if any(
+                p.stem == s or p.stem.startswith(s + "_") or p.stem.startswith(s + ".")
+                for s in stem_set
+            )
+        ]
+        # otherwise (single sequence-level stream) keep the whole dir
         counted = matched if matched else bits
         out["bpp"] = sum(p.stat().st_size for p in counted) * 8 / npix
     if args.per_image:

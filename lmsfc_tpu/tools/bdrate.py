@@ -73,17 +73,21 @@ def bd_rate_pchip(
     def _fit(rates, accs):
         r = np.log10(np.asarray(rates, np.float64))
         a = np.asarray(accs, np.float64)
-        order = np.argsort(a)
+        # walk in rate order and keep only the monotone R-D frontier: a
+        # point spending MORE rate for NO accuracy gain is dominated and
+        # dropped (the documented tail-drop; ADVICE r3 #3 — previously only
+        # exact ties were merged and non-monotone points were silently
+        # reordered by the accuracy sort, shifting the quoted BD-rate).
+        # At equal accuracy the cheaper-rate point wins (first in rate order).
+        order = np.argsort(r)
         r, a = r[order], a[order]
-        # PCHIP needs strictly increasing x: keep the cheapest rate at ties
         keep_a: List[float] = []
         keep_r: List[float] = []
-        for ai, ri in zip(a, r):
+        for ri, ai in zip(r, a):
             if keep_a and ai <= keep_a[-1] + 1e-12:
-                keep_r[-1] = min(keep_r[-1], ri)
-            else:
-                keep_a.append(float(ai))
-                keep_r.append(float(ri))
+                continue
+            keep_a.append(float(ai))
+            keep_r.append(float(ri))
         if len(keep_a) < 2:
             raise ValueError("need >=2 distinct accuracy points")
         return PchipInterpolator(np.asarray(keep_a), np.asarray(keep_r)), keep_a

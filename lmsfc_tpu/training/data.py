@@ -178,6 +178,11 @@ def device_clip_sampler(base_hw: Tuple[int, int], clip_len: int, clip_t: int):
     import jax
 
     h0, w0 = base_hw
+    # a clip longer than the source stride would make randint's range empty
+    # and dynamic_slice clamp — silently sampling frames that straddle two
+    # unrelated source clips (broken motion structure); fail loudly instead
+    if clip_len > clip_t:
+        raise ValueError(f"clip_len={clip_len} exceeds source clip_t={clip_t}")
 
     def sample(levels, rng):
         n_levels = len(levels)
@@ -243,7 +248,11 @@ class FeatureClipDumpSource:
             data = self._sample(int(self.rng.integers(len(self.files))))
             keys = list(data.keys())
             t_total = data[keys[0]].shape[0]
-            t0 = int(self.rng.integers(0, max(t_total - self.clip_len, 0) + 1))
+            if self.clip_len > t_total:
+                raise ValueError(
+                    f"clip_len={self.clip_len} exceeds dump length {t_total}"
+                )
+            t0 = int(self.rng.integers(0, t_total - self.clip_len + 1))
             h0, w0 = self.base_hw
             fh, fw = data[keys[0]].shape[2], data[keys[0]].shape[3]
             align = 2 ** (len(keys) - 1)

@@ -123,7 +123,8 @@ class _RCNNWrapper(BaseWrapper):
 
     # ----------------------------------------------------------- parameters
     def _init_params(self):
-        if self._weights_path and Path(self._weights_path).exists():
+        wp = self._weights_path
+        if wp and Path(wp).exists() and not str(wp).endswith(".npz"):
             from ...utils.tree import device_pin
             from .torch_weights import load_detectron2_weights
 
@@ -154,6 +155,21 @@ class _RCNNWrapper(BaseWrapper):
         self._params_backbone = bb
         pyr = [jnp.zeros((1, 16 // (2**i) + 1, 16 // (2**i) + 1, 256), jnp.float32) for i in range(4)]
         self._params_part2 = self.part2.init(jax.random.key(1), pyr, (64, 64))["params"]
+        if wp and Path(wp).exists() and str(wp).endswith(".npz"):
+            # native part2-only checkpoint (scripts/train_dummy_oiv6_detector
+            # .py): the RPN/ROI heads are overfit-trained while the backbone
+            # stays the fixed-seed calibrated random init the feature codec's
+            # training dumps were produced from — swapping the backbone would
+            # invalidate every committed codec checkpoint
+            from flax.traverse_util import unflatten_dict
+            from ...utils.tree import device_pin
+
+            loaded = np.load(wp)
+            self._params_part2 = device_pin(
+                unflatten_dict(
+                    {tuple(k.split("/")): loaded[k] for k in loaded.files}
+                )
+            )
 
     @property
     def split_layer_list(self) -> List[str]:

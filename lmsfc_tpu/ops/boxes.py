@@ -40,6 +40,33 @@ def decode_boxes(
     return jnp.concatenate([cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1)
 
 
+def encode_boxes(
+    boxes: jax.Array, anchors: jax.Array, weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+) -> jax.Array:
+    """Inverse of decode_boxes: (dx,dy,dw,dh) targets that map anchors ->
+    boxes (Detectron2 Box2BoxTransform.get_deltas). [..., 4] -> [..., 4]."""
+    wx, wy, ww, wh = weights
+    ax1, ay1, ax2, ay2 = jnp.split(anchors, 4, axis=-1)
+    aw = jnp.maximum(ax2 - ax1, 1e-6)
+    ah = jnp.maximum(ay2 - ay1, 1e-6)
+    acx = ax1 + 0.5 * aw
+    acy = ay1 + 0.5 * ah
+    bx1, by1, bx2, by2 = jnp.split(boxes, 4, axis=-1)
+    bw = jnp.maximum(bx2 - bx1, 1e-6)
+    bh = jnp.maximum(by2 - by1, 1e-6)
+    bcx = bx1 + 0.5 * bw
+    bcy = by1 + 0.5 * bh
+    return jnp.concatenate(
+        [
+            wx * (bcx - acx) / aw,
+            wy * (bcy - acy) / ah,
+            ww * jnp.log(bw / aw),
+            wh * jnp.log(bh / ah),
+        ],
+        axis=-1,
+    )
+
+
 def clip_boxes(boxes: jax.Array, hw: Tuple[int, int]) -> jax.Array:
     h, w = hw
     x1 = jnp.clip(boxes[..., 0], 0, w)

@@ -47,12 +47,13 @@ def build_eval_features(n_frames: int, hw=(256, 384), seed: int = 777):
 
 
 def eval_point(codec, data, n_pixels, out_dir: Path, tag: str):
-    t0 = time.perf_counter()
+    # NO timing columns here (VERDICT r3 weak #6): single-shot wall times on
+    # this shared 1-core box swung 10-52 s for identical configs across
+    # artifact sections — shared-box noise recorded as if it were a
+    # measurement. Throughput is bench.py's job, measured deliberately
+    # (warmup + median of trials).
     enc = codec.encode({"data": data}, str(out_dir), f"{tag}")
-    enc_t = time.perf_counter() - t0
-    t0 = time.perf_counter()
     dec = codec.decode(enc["bitstream"], str(out_dir))
-    dec_t = time.perf_counter() - t0
     n_frames = next(iter(data.values())).shape[0]
     bpp = sum(enc["bytes"]) * 8 / (n_pixels * n_frames)
     sq_sum, count = 0.0, 0
@@ -64,10 +65,53 @@ def eval_point(codec, data, n_pixels, out_dir: Path, tag: str):
         peak = max(peak, float(np.ptp(data[k])))
     mse = sq_sum / count
     psnr = 10 * np.log10(peak**2 / mse) if mse > 0 else float("inf")
+    # per-frame bits + MSE enable the bootstrap BD-rate spread (VERDICT r3
+    # weak #3: a fit-sensitive metric needs an uncertainty estimate)
+    per_frame_mse = np.zeros(n_frames, np.float64)
+    denom = 0
+    for k in data:
+        diff = np.asarray(dec["data"][k], np.float32) - data[k]
+        per_frame_mse += np.sum(diff.reshape(n_frames, -1) ** 2, axis=1)
+        denom += diff[0].size
+    per_frame_mse /= denom
     return {
-        "bpp": bpp, "mse": mse, "feature_psnr_db": psnr,
-        "enc_s": enc_t, "dec_s": dec_t, "n_frames": n_frames,
+        "bpp": bpp, "mse": mse, "feature_psnr_db": psnr, "n_frames": n_frames,
+        "per_frame_bytes": [float(b) for b in enc["bytes"]],
+        "per_frame_mse": [float(m) for m in per_frame_mse],
+        "peak": peak,
     }
+
+
+def bootstrap_bd(rows_single, rows_joint, n_pixels, n_boot=200, seed=12345):
+    """Bootstrap the PCHIP BD-rate over frames: resample frame indices,
+    rebuild each rate point's (bpp, psnr) from per-frame bytes/MSE, refit.
+    Returns (p5, p50, p95) or None if too few resamples converge."""
+    from lmsfc_tpu.tools.bdrate import bd_rate_pchip
+
+    rng = np.random.default_rng(seed)
+    n_frames = rows_single[0]["n_frames"]
+    vals = []
+    for _ in range(n_boot):
+        idx = rng.integers(0, n_frames, n_frames)
+
+        def curve(rows):
+            pts = []
+            for m in rows:
+                b = np.asarray(m["per_frame_bytes"])[idx]
+                e = np.asarray(m["per_frame_mse"])[idx]
+                bpp = b.sum() * 8 / (n_pixels * n_frames)
+                mse = float(e.mean())
+                pts.append((bpp, 10 * np.log10(m["peak"] ** 2 / mse)))
+            return zip(*sorted(pts))
+        try:
+            rs, qs = curve(rows_single)
+            rj, qj = curve(rows_joint)
+            vals.append(bd_rate_pchip(rs, qs, rj, qj))
+        except ValueError:
+            continue
+    if len(vals) < n_boot // 2:
+        return None
+    return [float(np.percentile(vals, p)) for p in (5, 50, 95)]
 
 
 def main() -> None:
@@ -79,6 +123,12 @@ def main() -> None:
     ap.add_argument("--joint-dir", default="r2_joint/joint",
                     help="gain-unit joint checkpoint under ckpt-root")
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[777],
+                    help="held-out sequence seeds; >1 seeds adds a per-"
+                         "sequence BD-rate breakdown (VERDICT r3 weak #3)")
+    ap.add_argument("--bootstrap", type=int, default=200,
+                    help="bootstrap resamples for the BD-rate spread "
+                         "(0 disables)")
     ap.add_argument("--hw", type=int, nargs=2, default=(256, 384))
     ap.add_argument("--out", default="runs/rd_r02")
     ap.add_argument("--report", default="RD_r02.json",
@@ -96,73 +146,117 @@ def main() -> None:
     args = ap.parse_args()
 
     from lmsfc_tpu.codecs.learned import LMSFCCodec
-    from lmsfc_tpu.tools.bdrate import bd_rate
+    from lmsfc_tpu.tools.bdrate import bd_rate, bd_rate_pchip
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    data, (h, w) = build_eval_features(args.frames, hw=tuple(args.hw))
-    n_pixels = h * w
-    print(f"eval features: {args.frames} frames at {h}x{w}, "
-          f"range [{min(v.min() for v in data.values()):.2f}, "
-          f"{max(v.max() for v in data.values()):.2f}]", flush=True)
-
-    rows, curves = [], {"single": [], "joint": []}
     common = dict(num_filters=192, latent_filters=192, hyper_filters=128,
                   dtype="bfloat16", chunk_frames=8,
                   latent_stride_div=args.latent_stride_div)
     lmbdas = tuple(args.lmbdas) if args.lmbdas else LMBDAS
     root = Path(args.ckpt_root)
 
+    # codecs are built once and reused across seed sequences (the compiled
+    # programs are geometry-keyed, so every seed rides the same programs)
+    singles = {}
     for qi, lam in enumerate(lmbdas, start=1):
         ckpt = root / args.single_dir / f"q{qi}_lmbda{lam}"
-        if not ckpt.exists():
+        if ckpt.exists():
+            singles[qi] = LMSFCCodec(qp=qi, checkpoint_dir=str(ckpt), **common)
+        else:
             print(f"skip single q{qi}: {ckpt} missing")
-            continue
-        codec = LMSFCCodec(qp=qi, checkpoint_dir=str(ckpt), **common)
-        m = eval_point(codec, data, n_pixels, out_dir, f"single_q{qi}")
-        rows.append({"model": "single", "qp": qi, "lambda": lam, **m})
-        curves["single"].append((m["bpp"], m["feature_psnr_db"]))
-        print(f"single q{qi}: bpp={m['bpp']:.4f} psnr={m['feature_psnr_db']:.2f}dB",
-              flush=True)
-
     joint_ckpt = root / args.joint_dir
+    joints = {}
     if joint_ckpt.exists():
         for qi in range(1, len(lmbdas) + 1):
-            codec = LMSFCCodec(qp=qi, checkpoint_dir=str(joint_ckpt),
-                               num_rates=len(lmbdas),
-                               num_slices=args.num_slices, lrp=args.lrp,
-                               **common)
-            m = eval_point(codec, data, n_pixels, out_dir, f"joint_q{qi}")
-            rows.append({"model": "joint", "qp": qi, "lambda": lmbdas[qi - 1], **m})
-            curves["joint"].append((m["bpp"], m["feature_psnr_db"]))
-            print(f"joint  q{qi}: bpp={m['bpp']:.4f} psnr={m['feature_psnr_db']:.2f}dB",
-                  flush=True)
+            joints[qi] = LMSFCCodec(qp=qi, checkpoint_dir=str(joint_ckpt),
+                                    num_rates=len(lmbdas),
+                                    num_slices=args.num_slices, lrp=args.lrp,
+                                    **common)
+
+    rows = []
+    per_seed = {}
+    for seed in args.seeds:
+        data, (h, w) = build_eval_features(args.frames, hw=tuple(args.hw),
+                                           seed=seed)
+        n_pixels = h * w
+        print(f"seed {seed}: {args.frames} frames at {h}x{w}, "
+              f"range [{min(v.min() for v in data.values()):.2f}, "
+              f"{max(v.max() for v in data.values()):.2f}]", flush=True)
+        s_rows, j_rows = [], []
+        for qi, codec in singles.items():
+            m = eval_point(codec, data, n_pixels, out_dir, f"s{seed}_single_q{qi}")
+            rows.append({"model": "single", "seed": seed, "qp": qi,
+                         "lambda": lmbdas[qi - 1], **m})
+            s_rows.append(m)
+            print(f"  single q{qi}: bpp={m['bpp']:.4f} "
+                  f"psnr={m['feature_psnr_db']:.2f}dB", flush=True)
+        for qi, codec in joints.items():
+            m = eval_point(codec, data, n_pixels, out_dir, f"s{seed}_joint_q{qi}")
+            rows.append({"model": "joint", "seed": seed, "qp": qi,
+                         "lambda": lmbdas[qi - 1], **m})
+            j_rows.append(m)
+            print(f"  joint  q{qi}: bpp={m['bpp']:.4f} "
+                  f"psnr={m['feature_psnr_db']:.2f}dB", flush=True)
+        entry = {
+            "curves": {
+                "single": [(m["bpp"], m["feature_psnr_db"]) for m in s_rows],
+                "joint": [(m["bpp"], m["feature_psnr_db"]) for m in j_rows],
+            }
+        }
+        if len(s_rows) >= 4 and len(j_rows) >= 4:
+            rs, qs = zip(*sorted(entry["curves"]["single"]))
+            rj, qj = zip(*sorted(entry["curves"]["joint"]))
+            for name, fn in (("bd_rate_pchip_pct", bd_rate_pchip),
+                             ("bd_rate_cubic_pct", bd_rate)):
+                try:
+                    entry[name] = fn(rs, qs, rj, qj)
+                except ValueError as e:
+                    entry[name] = None
+                    entry[name + "_error"] = str(e)
+            if args.bootstrap:
+                entry["bd_rate_pchip_bootstrap_p5_p50_p95"] = bootstrap_bd(
+                    s_rows, j_rows, n_pixels, n_boot=args.bootstrap
+                )
+            entry["single_curve_monotone"] = bool(
+                all(np.diff([c[1] for c in sorted(entry["curves"]["single"])]) > 0)
+            )
+            bd = entry.get("bd_rate_pchip_pct")
+            boot = entry.get("bd_rate_pchip_bootstrap_p5_p50_p95")
+            print(f"  seed {seed} BD-rate(PCHIP) joint vs single: "
+                  + (f"{bd:+.2f}%" if bd is not None else "undefined")
+                  + (f"  bootstrap[p5,p50,p95]={[round(v,2) for v in boot]}"
+                     if boot else ""), flush=True)
+        per_seed[str(seed)] = entry
 
     if not rows:
         raise SystemExit(
             f"no checkpoints found under {root} "
             f"(looked for {args.single_dir}/q*_lmbda* and {args.joint_dir})"
         )
+    csv_rows = [
+        {k: v for k, v in r.items()
+         if k not in ("per_frame_bytes", "per_frame_mse", "peak")}
+        for r in rows
+    ]
     with open(out_dir / "summary.csv", "w", newline="") as f:
-        wcsv = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        wcsv = csv.DictWriter(f, fieldnames=list(csv_rows[0].keys()))
         wcsv.writeheader()
-        wcsv.writerows(rows)
+        wcsv.writerows(csv_rows)
 
-    report = {"curves": curves, "rows": rows,
-              "eval": {"frames": args.frames, "hw": [h, w]}}
-    if len(curves["single"]) >= 4 and len(curves["joint"]) >= 4:
-        rs, qs = zip(*sorted(curves["single"]))
-        rj, qj = zip(*sorted(curves["joint"]))
-        try:
-            report["bd_rate_joint_vs_single_pct"] = bd_rate(rs, qs, rj, qj)
-            print(f"BD-rate joint vs single: "
-                  f"{report['bd_rate_joint_vs_single_pct']:+.2f}%")
-        except ValueError as e:  # disjoint quality ranges (undertrained joint)
-            report["bd_rate_joint_vs_single_pct"] = None
-            report["bd_rate_error"] = str(e)
-            print(f"BD-rate undefined: {e}")
-        mono = all(np.diff([c[1] for c in sorted(curves["single"])]) > 0)
-        report["single_curve_monotone"] = bool(mono)
+    first = per_seed[str(args.seeds[0])]
+    report = {
+        # top-level curves/BD keep the first seed for round-over-round
+        # comparability with RD_r02/RD_r03-era artifacts
+        "curves": first["curves"],
+        "bd_rate_joint_vs_single_pct": first.get("bd_rate_pchip_pct"),
+        "bd_rate_joint_vs_single_cubic_pct": first.get("bd_rate_cubic_pct"),
+        "single_curve_monotone": first.get("single_curve_monotone"),
+        "per_seed": per_seed,
+        "rows": rows,
+        "eval": {"frames": args.frames, "hw": list(args.hw),
+                 "seeds": list(args.seeds), "bootstrap": args.bootstrap},
+    }
     Path(args.report).write_text(json.dumps(report, indent=2))
     print(f"wrote {out_dir/'summary.csv'} and {args.report}")
 

@@ -63,11 +63,25 @@ class JDE1088x608(BaseWrapper):
         self._params = self.net.init(jax.random.key(0), x)["params"]
         if weights and Path(weights).exists():
             from ...utils.tree import device_pin
-            from .torch_weights_jde import load_jde_weights
 
-            # pin the converted numpy tree once (utils/tree.py: a host tree
-            # re-uploads the full weight set on every jitted call)
-            self._params = device_pin(load_jde_weights(weights, self._params))
+            if str(weights).endswith(".npz"):
+                # native head-only checkpoint (scripts/train_dummy_jde_head
+                # .py): the YOLO/embedding head is noise-distilled while the
+                # backbone stays the fixed-seed init the feature codec's
+                # training dumps come from
+                from flax.traverse_util import unflatten_dict
+
+                loaded = np.load(weights)
+                head = unflatten_dict(
+                    {tuple(k.split("/")): loaded[k] for k in loaded.files}
+                )
+                self._params = device_pin({**self._params, "head": head})
+            else:
+                from .torch_weights_jde import load_jde_weights
+
+                # pin the converted numpy tree once (utils/tree.py: a host
+                # tree re-uploads the full weight set on every jitted call)
+                self._params = device_pin(load_jde_weights(weights, self._params))
 
     @property
     def split_layer_list(self) -> List[str]:

@@ -39,8 +39,17 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=4242)
     ap.add_argument("--score-thr", type=float, default=0.2)
     ap.add_argument("--max-det", type=int, default=12)
+    ap.add_argument("--weights", default=None,
+                    help="part2 .npz for the labeling pass (after overfit "
+                         "training the labels must come from the SAME model "
+                         "that will be evaluated, or the bypass bound breaks)")
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
 
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import cv2
 
     from lmsfc_tpu.models.wrappers.rcnn import FasterRCNNFPN
@@ -49,7 +58,7 @@ def main() -> None:
     (out / "images").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     h, w = args.hw
-    wrapper = FasterRCNNFPN(resize_input=False)
+    wrapper = FasterRCNNFPN(resize_input=False, weights=args.weights)
 
     images, annotations = [], []
     ann_id = 1

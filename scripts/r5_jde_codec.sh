@@ -15,6 +15,14 @@ if [ -n "$1" ] && [ -f "$1" ]; then
 fi
 
 STEPS=${STEPS:-25000}
+
+if [ ! -d data/train_features_jde ]; then
+  echo "=== [0/1] dump JDE pyramid training features (fixed-seed NN-Part1) ==="
+  stdbuf -oL python scripts/make_jde_features.py \
+    --out data/train_features_jde --clips 8 --frames 12 \
+    2>&1 | tee runs/jde_feature_dump.log
+fi
+
 stdbuf -oL python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml \
   training.feature_dump_dir=data/train_features_jde training.preload=true \
   'training.channels=[256,512,1024]' 'training.base_hw=[32,48]' \

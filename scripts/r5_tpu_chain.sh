@@ -23,14 +23,17 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 FROM=${1:-1}
 mkdir -p runs/chain_r5
 
-stage() {  # stage <n> <name> <cmd...>
+stage() {  # [STAGE_TIMEOUT=s] stage <n> <name> <cmd...>
+  # Every stage runs under a generous timeout: a wedged relay HANGS ops
+  # rather than failing them, and a silently-stalled stage would otherwise
+  # block the rest of the chain for the whole round.
   local n=$1 name=$2; shift 2
   local marker="runs/chain_r5/$n-$name.done"
   if [ "$n" -lt "$FROM" ] || [ -f "$marker" ]; then
     echo "=== stage $n ($name): skipped ==="; return 0
   fi
   echo "=== stage $n ($name): start $(date) ==="
-  if "$@" 2>&1 | tee "runs/chain_r5/$n-$name.log"; then
+  if timeout "${STAGE_TIMEOUT:-7200}" "$@" 2>&1 | tee "runs/chain_r5/$n-$name.log"; then
     touch "$marker"
     echo "=== stage $n ($name): done $(date) ==="
   else
@@ -89,8 +92,8 @@ stage 3 q4fix scripts/r5_q4fix.sh || exit 1
 stage 4 oiv6-q4 oiv6_q4_rerun
 stage 5 jde-codec scripts/r5_jde_codec.sh || exit 1
 stage 6 mot-sweep mot_sweep
-stage 7 temporal env STEPS=50000 scripts/r4_temporal_extend.sh
-stage 8 extend200k scripts/r4_extend200k.sh
+STAGE_TIMEOUT=14400 stage 7 temporal env STEPS=50000 scripts/r4_temporal_extend.sh
+STAGE_TIMEOUT=14400 stage 8 extend200k scripts/r4_extend200k.sh
 stage 9 headline-eval bash -c '
   stdbuf -oL python scripts/rd_eval.py \
     --ckpt-root checkpoints --single-dir r4_single --joint-dir r4_charm/joint \

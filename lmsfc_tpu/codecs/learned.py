@@ -52,7 +52,9 @@ from ..utils.readwrite import (
 )
 
 _MAGIC = b"LMF2"
-_VERSION = 4  # v4: + n_slices header byte, per-slice y streams (ChARM)
+_VERSION = 5  # v5: rANS payloads are 4-way interleaved (native/rans.cpp);
+# v4 added the n_slices header byte + per-slice y streams (ChARM)
+_RANS_STREAMS = 4
 
 
 @register_codec("lmsfc")
@@ -111,8 +113,8 @@ class LMSFCCodec(MeshJitCache):
         self._gaussian = GaussianConditional()
         self._gc_table = None
         self._eb_table = None
-        self._enc = RansEncoder()
-        self._dec = RansDecoder()
+        self._enc = RansEncoder(streams=_RANS_STREAMS)
+        self._dec = RansDecoder(streams=_RANS_STREAMS)
         self._jit_cache: Dict = {}
         # fixed per-compile frame-chunk: one XLA program regardless of
         # sequence length (the video pipeline codes whole sequences at once,
@@ -512,8 +514,8 @@ class LMSFCCodec(MeshJitCache):
             if version != _VERSION:
                 raise ValueError(
                     f"stream version {version} unsupported (current {_VERSION}); "
-                    "streams written before the v4 ChARM header (e.g. the "
-                    "runs/rd_r02 artifacts) must be re-encoded"
+                    "streams written before the v5 interleaved-rANS payload "
+                    "(e.g. pre-round-4 runs/ artifacts) must be re-encoded"
                 )
             (n_frames,) = read_uints(fd, 1)
             # the gaussian-param program must match the encoder's chunking;

@@ -26,7 +26,10 @@ from ..native import RansDecoder, RansEncoder
 from ..registry import register_codec
 from ..utils.readwrite import read_bytes, read_uchars, read_uints, write_bytes, write_uchars, write_uints
 
-_MAGIC = b"LMI1"
+# LMI2: rANS payloads are 4-way interleaved (native/rans.cpp); LMI1 used
+# the single-stream CompressAI-compatible layout
+_MAGIC = b"LMI2"
+_RANS_STREAMS = 4
 
 
 class _LearnedImageCodec:
@@ -60,7 +63,8 @@ class _LearnedImageCodec:
         self._seed = seed
         self._gaussian = GaussianConditional()
         self._tables_cache = None
-        self._enc, self._dec = RansEncoder(), RansDecoder()
+        self._enc = RansEncoder(streams=_RANS_STREAMS)
+        self._dec = RansDecoder(streams=_RANS_STREAMS)
         self._jit: Dict = {}
 
     def _build(self, n, m, dtype):

@@ -45,7 +45,9 @@ from ..utils.readwrite import (
 )
 
 _MAGIC = b"LMFT"
-_VERSION = 2  # v2: GOP-batched predictor program (see module docstring)
+_VERSION = 3  # v3: rANS payloads are 4-way interleaved (native/rans.cpp);
+# v2 added the GOP-batched predictor program (see module docstring)
+_RANS_STREAMS = 4
 
 
 @register_codec("lmsfc-temporal")
@@ -95,7 +97,8 @@ class LMSFCTemporalCodec(MeshJitCache):
         self._seed = seed
         self._gaussian = GaussianConditional()
         self._tables_cache = None
-        self._enc, self._dec = RansEncoder(), RansDecoder()
+        self._enc = RansEncoder(streams=_RANS_STREAMS)
+        self._dec = RansDecoder(streams=_RANS_STREAMS)
         self._jit_cache: Dict = {}
         # optional dp mesh: analysis/hyper/synthesis shard the (padded)
         # frame axis, the GOP-batched predictor steps shard the GOP axis —

@@ -110,6 +110,94 @@ struct BufferedSymbol {
   bool bypass;
 };
 
+// Shared forward pass: map (symbols, indexes) onto the flat op sequence
+// (regular symbol + optional escape prefix/nibble bypass ops). Returns
+// false on a bad index / malformed cdf row.
+bool buffer_symbols(const int32_t* symbols, const int32_t* indexes, int64_t n,
+                    const int32_t* cdfs, int32_t cdf_stride,
+                    const int32_t* cdf_lengths, const int32_t* offsets,
+                    int32_t n_cdfs, std::vector<BufferedSymbol>* syms) {
+  syms->reserve(static_cast<size_t>(n) + 16);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    if (idx < 0 || idx >= n_cdfs) return false;
+    const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    if (max_value < 0) return false;
+
+    int32_t value = symbols[i] - offsets[idx];
+    uint32_t raw_val = 0;
+    if (value < 0) {
+      raw_val = static_cast<uint32_t>(-2 * value - 1);
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+      value = max_value;
+    }
+    syms->push_back({static_cast<uint32_t>(cdf[value]),
+                     static_cast<uint32_t>(cdf[value + 1] - cdf[value]), false});
+
+    if (value == max_value) {
+      // nibble count
+      uint32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      // encode nibble count with a saturated prefix
+      uint32_t val = n_bypass;
+      while (val >= kMaxBypassVal) {
+        syms->push_back({kMaxBypassVal, kBypassPrecision, true});
+        val -= kMaxBypassVal;
+      }
+      syms->push_back({val, kBypassPrecision, true});
+      // encode the raw nibbles, LSB first
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        syms->push_back(
+            {(raw_val >> (j * kBypassPrecision)) & kMaxBypassVal,
+             kBypassPrecision, true});
+      }
+    }
+  }
+  return true;
+}
+
+// Reverse rANS pass over the buffered ops with S independent interleaved
+// states (op j uses state j%S; all states share one word stream). S>1
+// splits the serial state-update dependency chain so the core's OoO window
+// overlaps S updates — the classic interleaved-rANS ILP construction
+// (Giesen). S=1 reproduces the original single-stream layout bit-exactly.
+template <int S>
+int64_t encode_ops(const std::vector<BufferedSymbol>& syms, uint8_t* out,
+                   int64_t out_cap) {
+  // worst case: one 32-bit word per buffered op + 8-byte flush per stream
+  const int64_t worst = static_cast<int64_t>(syms.size()) * 4 + 8 * S;
+  if (out_cap < worst) return -1;
+
+  std::vector<uint32_t> buf(static_cast<size_t>(worst / 4) + 2 * S);
+  uint32_t* ptr = buf.data() + buf.size();
+
+  Rans64State st[S];
+  for (int s = 0; s < S; ++s) Rans64EncInit(&st[s]);
+  const int64_t m = static_cast<int64_t>(syms.size());
+  for (int64_t j = m - 1; j >= 0; --j) {
+    const BufferedSymbol& b = syms[static_cast<size_t>(j)];
+    Rans64State* r = &st[j % S];
+    if (b.bypass) {
+      Rans64EncPutBits(r, &ptr, b.start, b.range);
+    } else {
+      Rans64EncPut(r, &ptr, b.start, b.range, kPrecision);
+    }
+  }
+  // stream written back-to-front: flush S-1..0 so the decoder (reading
+  // forward) initializes 0..S-1
+  for (int s = S - 1; s >= 0; --s) Rans64EncFlush(&st[s], &ptr);
+
+  const int64_t nbytes =
+      static_cast<int64_t>(buf.data() + buf.size() - ptr) * 4;
+  if (nbytes > out_cap) return -1;
+  std::memcpy(out, ptr, static_cast<size_t>(nbytes));
+  return nbytes;
+}
+
 }  // namespace
 
 extern "C" {
@@ -121,70 +209,31 @@ int64_t rans_encode_with_indexes(const int32_t* symbols, const int32_t* indexes,
                                  const int32_t* offsets, int32_t n_cdfs,
                                  uint8_t* out, int64_t out_cap) {
   std::vector<BufferedSymbol> syms;
-  syms.reserve(static_cast<size_t>(n) + 16);
+  if (!buffer_symbols(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                      offsets, n_cdfs, &syms))
+    return -1;
+  return encode_ops<1>(syms, out, out_cap);
+}
 
-  for (int64_t i = 0; i < n; ++i) {
-    const int32_t idx = indexes[i];
-    if (idx < 0 || idx >= n_cdfs) return -1;
-    const int32_t* cdf = cdfs + static_cast<int64_t>(idx) * cdf_stride;
-    const int32_t max_value = cdf_lengths[idx] - 2;
-    if (max_value < 0) return -1;
-
-    int32_t value = symbols[i] - offsets[idx];
-    uint32_t raw_val = 0;
-    if (value < 0) {
-      raw_val = static_cast<uint32_t>(-2 * value - 1);
-      value = max_value;
-    } else if (value >= max_value) {
-      raw_val = static_cast<uint32_t>(2 * (value - max_value));
-      value = max_value;
-    }
-    syms.push_back({static_cast<uint32_t>(cdf[value]),
-                    static_cast<uint32_t>(cdf[value + 1] - cdf[value]), false});
-
-    if (value == max_value) {
-      // nibble count
-      uint32_t n_bypass = 0;
-      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
-      // encode nibble count with a saturated prefix
-      uint32_t val = n_bypass;
-      while (val >= kMaxBypassVal) {
-        syms.push_back({kMaxBypassVal, kBypassPrecision, true});
-        val -= kMaxBypassVal;
-      }
-      syms.push_back({val, kBypassPrecision, true});
-      // encode the raw nibbles, LSB first
-      for (uint32_t j = 0; j < n_bypass; ++j) {
-        syms.push_back(
-            {(raw_val >> (j * kBypassPrecision)) & kMaxBypassVal,
-             kBypassPrecision, true});
-      }
-    }
+// Interleaved variant: n_streams rANS states share one word stream
+// (op j -> state j%n_streams). NOT CompressAI-layout-compatible — used by
+// the learned codecs' own containers (which version the payload format).
+// n_streams must be 2 or 4.
+int64_t rans_encode_interleaved(const int32_t* symbols, const int32_t* indexes,
+                                int64_t n, const int32_t* cdfs,
+                                int32_t cdf_stride, const int32_t* cdf_lengths,
+                                const int32_t* offsets, int32_t n_cdfs,
+                                int32_t n_streams, uint8_t* out,
+                                int64_t out_cap) {
+  std::vector<BufferedSymbol> syms;
+  if (!buffer_symbols(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                      offsets, n_cdfs, &syms))
+    return -1;
+  switch (n_streams) {
+    case 2: return encode_ops<2>(syms, out, out_cap);
+    case 4: return encode_ops<4>(syms, out, out_cap);
+    default: return -1;
   }
-
-  // worst case: one 32-bit word per buffered op + 8-byte flush
-  const int64_t worst = static_cast<int64_t>(syms.size()) * 4 + 8;
-  if (out_cap < worst) return -1;
-
-  std::vector<uint32_t> buf(static_cast<size_t>(worst / 4) + 2);
-  uint32_t* ptr = buf.data() + buf.size();
-
-  Rans64State rans;
-  Rans64EncInit(&rans);
-  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
-    if (it->bypass) {
-      Rans64EncPutBits(&rans, &ptr, it->start, it->range);
-    } else {
-      Rans64EncPut(&rans, &ptr, it->start, it->range, kPrecision);
-    }
-  }
-  Rans64EncFlush(&rans, &ptr);
-
-  const int64_t nbytes =
-      static_cast<int64_t>(buf.data() + buf.size() - ptr) * 4;
-  if (nbytes > out_cap) return -1;
-  std::memcpy(out, ptr, static_cast<size_t>(nbytes));
-  return nbytes;
 }
 
 // Build the coarse cum->symbol lookup table (n_cdfs x 2^kCoarseBits int16)
@@ -216,18 +265,19 @@ int64_t rans_lut_build_coarse(const int32_t* cdfs, int32_t cdf_stride,
   return 0;
 }
 
-// Returns 0 on success, -1 on error. Writes n decoded values to out_symbols.
-// prebuilt_lut: optional rans_lut_build_coarse output; pass NULL to fall
-// back to a per-call coarse LUT (large n) or per-symbol binary search
-// (small n).
-int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
-                                 const int32_t* indexes, int64_t n,
-                                 const int32_t* cdfs, int32_t cdf_stride,
-                                 const int32_t* cdf_lengths,
-                                 const int32_t* offsets, int32_t n_cdfs,
-                                 int32_t* out_symbols,
-                                 const int16_t* prebuilt_lut) {
-  if (nbytes < 8 || (nbytes % 4) != 0) return -1;
+}  // extern "C"
+
+namespace {
+
+// Forward decode over the interleaved op sequence (op k -> state k%S).
+// S=1 is the original single-stream decode.
+template <int S>
+int64_t decode_ops(const uint8_t* data, int64_t nbytes, const int32_t* indexes,
+                   int64_t n, const int32_t* cdfs, int32_t cdf_stride,
+                   const int32_t* cdf_lengths, const int32_t* offsets,
+                   int32_t n_cdfs, int32_t* out_symbols,
+                   const int16_t* prebuilt_lut) {
+  if (nbytes < 8 * S || (nbytes % 4) != 0) return -1;
   std::vector<uint32_t> buf(static_cast<size_t>(nbytes / 4) + 4, 0u);
   std::memcpy(buf.data(), data, static_cast<size_t>(nbytes));
   uint32_t* ptr = buf.data();
@@ -246,8 +296,9 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
     use_lut = true;
   }
 
-  Rans64State rans;
-  Rans64DecInit(&rans, &ptr);
+  Rans64State st[S];
+  for (int s = 0; s < S; ++s) Rans64DecInit(&st[s], &ptr);
+  uint64_t k = 0;  // flat op counter, mirrors the encoder's buffered order
 
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
@@ -256,7 +307,8 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
     const int32_t max_value = cdf_lengths[idx] - 2;
     if (max_value < 0) return -1;
 
-    const uint32_t cum = Rans64DecGet(&rans, kPrecision);
+    Rans64State* r = &st[k++ % S];
+    const uint32_t cum = Rans64DecGet(r, kPrecision);
 
     int32_t value;
     if (use_lut) {
@@ -278,20 +330,20 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
       value = lo;
     }
 
-    Rans64DecAdvance(&rans, &ptr, static_cast<uint32_t>(cdf[value]),
+    Rans64DecAdvance(r, &ptr, static_cast<uint32_t>(cdf[value]),
                      static_cast<uint32_t>(cdf[value + 1] - cdf[value]),
                      kPrecision);
 
     if (value == max_value) {
-      uint32_t val = Rans64DecGetBits(&rans, &ptr, kBypassPrecision);
+      uint32_t val = Rans64DecGetBits(&st[k++ % S], &ptr, kBypassPrecision);
       uint32_t n_bypass = val;
       while (val == kMaxBypassVal) {
-        val = Rans64DecGetBits(&rans, &ptr, kBypassPrecision);
+        val = Rans64DecGetBits(&st[k++ % S], &ptr, kBypassPrecision);
         n_bypass += val;
       }
       uint32_t raw_val = 0;
       for (uint32_t j = 0; j < n_bypass; ++j) {
-        val = Rans64DecGetBits(&rans, &ptr, kBypassPrecision);
+        val = Rans64DecGetBits(&st[k++ % S], &ptr, kBypassPrecision);
         raw_val |= val << (j * kBypassPrecision);
       }
       value = static_cast<int32_t>(raw_val >> 1);
@@ -304,6 +356,47 @@ int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
     out_symbols[i] = value + offsets[idx];
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 on error. Writes n decoded values to out_symbols.
+// prebuilt_lut: optional rans_lut_build_coarse output; pass NULL to fall
+// back to a per-call coarse LUT (large n) or per-symbol binary search
+// (small n).
+int64_t rans_decode_with_indexes(const uint8_t* data, int64_t nbytes,
+                                 const int32_t* indexes, int64_t n,
+                                 const int32_t* cdfs, int32_t cdf_stride,
+                                 const int32_t* cdf_lengths,
+                                 const int32_t* offsets, int32_t n_cdfs,
+                                 int32_t* out_symbols,
+                                 const int16_t* prebuilt_lut) {
+  return decode_ops<1>(data, nbytes, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                       offsets, n_cdfs, out_symbols, prebuilt_lut);
+}
+
+// Inverse of rans_encode_interleaved. n_streams must match the encoder's.
+int64_t rans_decode_interleaved(const uint8_t* data, int64_t nbytes,
+                                const int32_t* indexes, int64_t n,
+                                const int32_t* cdfs, int32_t cdf_stride,
+                                const int32_t* cdf_lengths,
+                                const int32_t* offsets, int32_t n_cdfs,
+                                int32_t n_streams, int32_t* out_symbols,
+                                const int16_t* prebuilt_lut) {
+  switch (n_streams) {
+    case 2:
+      return decode_ops<2>(data, nbytes, indexes, n, cdfs, cdf_stride,
+                           cdf_lengths, offsets, n_cdfs, out_symbols,
+                           prebuilt_lut);
+    case 4:
+      return decode_ops<4>(data, nbytes, indexes, n, cdfs, cdf_stride,
+                           cdf_lengths, offsets, n_cdfs, out_symbols,
+                           prebuilt_lut);
+    default:
+      return -1;
+  }
 }
 
 }  // extern "C"

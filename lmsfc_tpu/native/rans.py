@@ -57,6 +57,16 @@ def _load() -> ctypes.CDLL:
         lib.rans_lut_build_coarse.restype = ctypes.c_int64
         lib.rans_lut_build_coarse.argtypes = [i32p, ctypes.c_int32, i32p,
                                               ctypes.c_int32, i16p]
+        lib.rans_encode_interleaved.restype = ctypes.c_int64
+        lib.rans_encode_interleaved.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int32, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int64,
+        ]
+        lib.rans_decode_interleaved.restype = ctypes.c_int64
+        lib.rans_decode_interleaved.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int32,
+            i32p, i32p, ctypes.c_int32, ctypes.c_int32, i32p, i16p,
+        ]
         _lib = lib
     return _lib
 
@@ -70,6 +80,13 @@ def _ptr(a: np.ndarray, ctype):
 
 
 class RansEncoder:
+    """streams=1 is the CompressAI-compatible layout; streams in {2,4}
+    selects the interleaved-state variant (~1.6x throughput on this host,
+    own layout — the learned codecs' containers version it in-band)."""
+
+    def __init__(self, streams: int = 1):
+        self.streams = streams
+
     def encode_with_indexes(
         self,
         symbols: Sequence[int],
@@ -77,7 +94,9 @@ class RansEncoder:
         cdfs: np.ndarray,
         cdf_lengths: Sequence[int],
         offsets: Sequence[int],
+        streams: Optional[int] = None,
     ) -> bytes:
+        streams = self.streams if streams is None else streams
         lib = _load()
         symbols = _i32(symbols).ravel()
         indexes = _i32(indexes).ravel()
@@ -89,15 +108,26 @@ class RansEncoder:
         # worst case ~ (1 symbol + ~11 bypass nibbles) words per symbol + flush
         cap = 4 * (13 * n) + 64
         out = np.empty(cap, dtype=np.uint8)
-        nbytes = lib.rans_encode_with_indexes(
-            _ptr(symbols, ctypes.c_int32), _ptr(indexes, ctypes.c_int32),
-            ctypes.c_int64(n), _ptr(cdfs, ctypes.c_int32),
-            ctypes.c_int32(cdfs.shape[1]), _ptr(cdf_lengths, ctypes.c_int32),
-            _ptr(offsets, ctypes.c_int32), ctypes.c_int32(cdfs.shape[0]),
-            _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
-        )
+        if streams == 1:
+            nbytes = lib.rans_encode_with_indexes(
+                _ptr(symbols, ctypes.c_int32), _ptr(indexes, ctypes.c_int32),
+                ctypes.c_int64(n), _ptr(cdfs, ctypes.c_int32),
+                ctypes.c_int32(cdfs.shape[1]), _ptr(cdf_lengths, ctypes.c_int32),
+                _ptr(offsets, ctypes.c_int32), ctypes.c_int32(cdfs.shape[0]),
+                _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
+            )
+        else:
+            nbytes = lib.rans_encode_interleaved(
+                _ptr(symbols, ctypes.c_int32), _ptr(indexes, ctypes.c_int32),
+                ctypes.c_int64(n), _ptr(cdfs, ctypes.c_int32),
+                ctypes.c_int32(cdfs.shape[1]), _ptr(cdf_lengths, ctypes.c_int32),
+                _ptr(offsets, ctypes.c_int32), ctypes.c_int32(cdfs.shape[0]),
+                ctypes.c_int32(streams),
+                _ptr(out, ctypes.c_uint8), ctypes.c_int64(cap),
+            )
         if nbytes < 0:
-            raise RuntimeError("rans_encode_with_indexes failed")
+            raise RuntimeError(
+                f"rans encode failed (streams={streams}; must be 1, 2 or 4)")
         return out[:nbytes].tobytes()
 
     # alias matching CompressAI's streamed API shape
@@ -108,9 +138,11 @@ class RansDecoder:
     """Decoder with a per-table coarse-LUT cache: a 2^10-bucket cum->symbol
     lower-bound row per CDF (2 KB/row, L2-resident — a full 2^16 row is 128
     KB/row and DRAM-latency bound), built once per CDF table and reused
-    across frames."""
+    across frames. `streams` must match the encoder's (the learned codecs
+    record it via their container version)."""
 
-    def __init__(self):
+    def __init__(self, streams: int = 1):
+        self.streams = streams
         self._lut_cache = {}
 
     def _lut_for(self, cdfs: np.ndarray, cdf_lengths: np.ndarray):
@@ -139,7 +171,9 @@ class RansDecoder:
         cdfs: np.ndarray,
         cdf_lengths: Sequence[int],
         offsets: Sequence[int],
+        streams: Optional[int] = None,
     ) -> np.ndarray:
+        streams = self.streams if streams is None else streams
         lib = _load()
         indexes = _i32(indexes).ravel()
         cdfs = _i32(cdfs)
@@ -155,18 +189,32 @@ class RansDecoder:
             (cdfs.ctypes.data, cdfs.shape) in self._lut_cache
         )
         lut = self._lut_for(cdfs, cdf_lengths) if use_cache else None
-        rc = lib.rans_decode_with_indexes(
-            _ptr(buf, ctypes.c_uint8), ctypes.c_int64(buf.size),
-            _ptr(indexes, ctypes.c_int32), ctypes.c_int64(n),
-            _ptr(cdfs, ctypes.c_int32), ctypes.c_int32(cdfs.shape[1]),
-            _ptr(cdf_lengths, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
-            ctypes.c_int32(cdfs.shape[0]), _ptr(out, ctypes.c_int32),
+        lut_arg = (
             lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
             if lut is not None
-            else ctypes.POINTER(ctypes.c_int16)(),
+            else ctypes.POINTER(ctypes.c_int16)()
         )
+        if streams == 1:
+            rc = lib.rans_decode_with_indexes(
+                _ptr(buf, ctypes.c_uint8), ctypes.c_int64(buf.size),
+                _ptr(indexes, ctypes.c_int32), ctypes.c_int64(n),
+                _ptr(cdfs, ctypes.c_int32), ctypes.c_int32(cdfs.shape[1]),
+                _ptr(cdf_lengths, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+                ctypes.c_int32(cdfs.shape[0]), _ptr(out, ctypes.c_int32),
+                lut_arg,
+            )
+        else:
+            rc = lib.rans_decode_interleaved(
+                _ptr(buf, ctypes.c_uint8), ctypes.c_int64(buf.size),
+                _ptr(indexes, ctypes.c_int32), ctypes.c_int64(n),
+                _ptr(cdfs, ctypes.c_int32), ctypes.c_int32(cdfs.shape[1]),
+                _ptr(cdf_lengths, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+                ctypes.c_int32(cdfs.shape[0]), ctypes.c_int32(streams),
+                _ptr(out, ctypes.c_int32), lut_arg,
+            )
         if rc != 0:
-            raise RuntimeError("rans_decode_with_indexes failed")
+            raise RuntimeError(
+                f"rans decode failed (streams={streams}; must match encoder)")
         return out
 
     decode = decode_with_indexes

@@ -103,3 +103,64 @@ class TestRansRoundtrip:
         a = enc.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets)
         b = enc.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets)
         assert a == b
+
+
+class TestInterleavedStreams:
+    """4-way interleaved rANS (native/rans.cpp encode_ops/decode_ops<S>):
+    same op sequence over S alternating states sharing one word stream —
+    an ILP construction, so it must be a pure re-layout: identical symbols
+    back, near-identical size, and strictly incompatible across S."""
+
+    @pytest.mark.parametrize("streams", [2, 4])
+    def test_roundtrip_with_bypass(self, streams):
+        table = _gaussian_cdf_table()
+        rng = np.random.default_rng(3)
+        n = 5000
+        indexes = rng.integers(0, table.cdfs.shape[0], n).astype(np.int32)
+        symbols = rng.integers(-8, 9, n).astype(np.int32)
+        symbols[::17] = rng.integers(-5000, 5000, symbols[::17].size)
+        enc = RansEncoder(streams=streams)
+        dec = RansDecoder(streams=streams)
+        bs = enc.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        out = dec.decode_with_indexes(bs, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        assert np.array_equal(out, symbols)
+
+    def test_size_overhead_is_flush_only(self):
+        table = _gaussian_cdf_table()
+        rng = np.random.default_rng(4)
+        n = 20000
+        indexes = rng.integers(0, table.cdfs.shape[0], n).astype(np.int32)
+        symbols = rng.integers(-8, 9, n).astype(np.int32)
+        enc = RansEncoder()
+        base = len(enc.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets))
+        four = len(enc.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets, streams=4))
+        # 3 extra 8-byte flushes + at most a few normalization words
+        assert base <= four <= base + 24 + 16
+
+    @pytest.mark.parametrize("n", [0, 1, 2, 3, 5])
+    def test_tiny_payloads(self, n):
+        table = _gaussian_cdf_table()
+        rng = np.random.default_rng(5)
+        indexes = rng.integers(0, table.cdfs.shape[0], n).astype(np.int32)
+        symbols = rng.integers(-8, 9, n).astype(np.int32)
+        enc, dec = RansEncoder(streams=4), RansDecoder(streams=4)
+        bs = enc.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        out = dec.decode_with_indexes(bs, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        assert np.array_equal(out, symbols)
+
+    def test_per_call_override_beats_instance_default(self):
+        table = _gaussian_cdf_table()
+        rng = np.random.default_rng(6)
+        n = 1000
+        indexes = rng.integers(0, table.cdfs.shape[0], n).astype(np.int32)
+        symbols = rng.integers(-8, 9, n).astype(np.int32)
+        enc, dec = RansEncoder(streams=4), RansDecoder()
+        bs = enc.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets, streams=1)
+        out = dec.decode_with_indexes(bs, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        assert np.array_equal(out, symbols)
+
+    def test_invalid_stream_count_raises(self):
+        table = _gaussian_cdf_table()
+        enc = RansEncoder()
+        with pytest.raises(RuntimeError):
+            enc.encode_with_indexes([0], [0], table.cdfs, table.cdf_lengths, table.offsets, streams=3)

@@ -239,14 +239,30 @@ class LMSFCCodec(MeshJitCache):
         return self._cached_jit(("hidx", y_hw), fn, arity=2)
 
     def _sym_fn(self):
-        """fn(y f32, means f32) -> y_sym i16 (encoder-only quantization)."""
+        """fn(y f32, means f32) -> (y_sym8 i8, n_over i32[frames], y_sym i16)
+        (encoder-only quantization).
+
+        i8 wire: trained models' residual symbols sit within [-128,127]
+        essentially always, and the y-symbol plane is the largest
+        device->host transfer on the encode path — shipping it as i8 halves
+        it. n_over counts saturated elements per frame so the drain falls
+        back to the (still device-resident) i16 plane for the rare chunk
+        that needs it; the bitstream itself is dtype-independent."""
         def fn(y, means):
-            return jnp.clip(jnp.round(y - means), -32768, 32767).astype(jnp.int16)
+            s = jnp.clip(jnp.round(y - means), -32768, 32767).astype(jnp.int16)
+            s8 = jnp.clip(s, -128, 127).astype(jnp.int8)
+            over = jnp.sum(
+                (s != s8.astype(jnp.int16)).reshape(s.shape[0], -1),
+                axis=1, dtype=jnp.int32,
+            )
+            return s8, over, s
 
         return self._cached_jit(("sym",), fn, arity=2, repl_args=0)
 
     def _syn_fn(self, shapes_hw: Tuple[Tuple[int, int], ...], rate_idx: int):
-        """fn(params, y_sym i16, means f32) -> list of NCHW f32 recon levels.
+        """fn(params, y_sym i8/i16, means f32) -> list of NCHW f32 recon
+        levels (jit specializes per symbol dtype; the i8 wire is safe here
+        because synthesis is terminal — nothing downstream entropy-codes).
 
         Dequantization (y_hat = y_sym + means) and the NHWC->NCHW transpose
         happen on device: the host uploads integer symbols and the pyramid
@@ -391,9 +407,19 @@ class LMSFCCodec(MeshJitCache):
             ]
             return z_bytes, y_streams
 
-        def _drain_chunk(cnt, zs_c, yis, yss):
-            flat = jax.device_get([zs_c] + yis + yss)
-            z_np, yi_np, ys_np = flat[0], flat[1 : 1 + n_sl], flat[1 + n_sl :]
+        def _drain_chunk(cnt, zs_c, yis, yss, overs, ys16s):
+            # one batched device_get: z, indexes, i8 symbol planes, and the
+            # per-frame saturation counters all land in a single relay call
+            flat = jax.device_get([zs_c] + yis + yss + overs)
+            z_np = flat[0]
+            yi_np = flat[1 : 1 + n_sl]
+            ys_np = list(flat[1 + n_sl : 1 + 2 * n_sl])
+            over_np = flat[1 + 2 * n_sl :]
+            for i in range(n_sl):
+                # a saturated i8 plane would corrupt the stream: re-fetch
+                # the exact i16 plane for this (rare) chunk/slice
+                if over_np[i][:cnt].any():
+                    ys_np[i] = jax.device_get(ys16s[i])
             # pad rows (tail chunk) are simply never submitted
             return [
                 code_pool.submit(
@@ -427,26 +453,36 @@ class LMSFCCodec(MeshJitCache):
                 if self.num_slices:
                     support0 = hyper_idx(self.params, zs_c)
                     cs = self.model.latent_filters // self.num_slices
-                    y_hat_parts, yis, yss = [], [], []
+                    y_hat_parts, yis, yss, overs, ys16s = [], [], [], [], []
                     for i in range(self.num_slices):
                         sup = jnp.concatenate([support0] + y_hat_parts, axis=-1)
                         yi_i, mn_i = self._slice_idx_fn(i)(self.params, sup)
-                        ys_i = sym(yc[..., i * cs : (i + 1) * cs], mn_i)
+                        ys8_i, over_i, ys16_i = sym(
+                            yc[..., i * cs : (i + 1) * cs], mn_i
+                        )
+                        # conditioning consumes the exact i16 symbols; only
+                        # the wire copy is i8
                         y_hat_parts.append(
-                            self._deq_slice_fn(i)(self.params, sup, ys_i, mn_i)
+                            self._deq_slice_fn(i)(self.params, sup, ys16_i, mn_i)
                         )
                         yis.append(yi_i)
-                        yss.append(ys_i)
+                        yss.append(ys8_i)
+                        overs.append(over_i)
+                        ys16s.append(ys16_i)
                 else:
                     yi_c, mn_c = hyper_idx(self.params, zs_c)
-                    yis, yss = [yi_c], [sym(yc, mn_c)]
+                    ys8_c, over_c, ys16_c = sym(yc, mn_c)
+                    yis, yss = [yi_c], [ys8_c]
+                    overs, ys16s = [over_c], [ys16_c]
                 if z_idx_r is None:
                     z_idx_r = np.ascontiguousarray(
                         np.broadcast_to(
                             np.arange(z_shape[-1], dtype=np.int32), z_shape[1:]
                         )
                     ).ravel()
-                drain_futs.append(drain_pool.submit(_drain_chunk, cnt, zs_c, yis, yss))
+                drain_futs.append(
+                    drain_pool.submit(_drain_chunk, cnt, zs_c, yis, yss, overs, ys16s)
+                )
 
             # chunk-ordered frame futures -> frame-ordered coded streams
             frame_futs = [f for df in drain_futs for f in df.result()]
@@ -615,7 +651,16 @@ class LMSFCCodec(MeshJitCache):
                 frames = [f.result() for f in futs_fut.result()]
                 # pad rows mirror the encoder's edge-repeat padding
                 frames.extend(frames[-1:] * (chunk - cnt))
-                recon = synthesis(self.params, jnp.asarray(np.stack(frames)), mn_c)
+                arr = np.stack(frames)  # rANS returns i32
+                # i8 wire when the chunk's symbols fit (they essentially
+                # always do for trained models), i16 otherwise — a 4x/2x cut
+                # of the dominant host->device upload; jax.jit specializes
+                # per input dtype so both variants stay cached
+                if arr.size and -128 <= arr.min() and arr.max() <= 127:
+                    arr = arr.astype(np.int8)
+                else:
+                    arr = arr.astype(np.int16)
+                recon = synthesis(self.params, jnp.asarray(arr), mn_c)
                 recon_parts.append([r[:cnt] for r in recon])
 
             for s, cnt in self._chunk_iter(n_frames, chunk):
@@ -693,6 +738,12 @@ class LMSFCCodec(MeshJitCache):
                     list(pool.map(_dec_frame, range(cnt)))
                 for j in range(cnt, chunk):  # pad rows mirror encoder's
                     ys_np[j] = ys_np[cnt - 1]
+                # stays i16: this upload feeds the CONDITIONING chain
+                # (dequant -> LRP -> next slice's indexes), which must run
+                # the byte-identical compiled program on both sides — an i8
+                # input would compile a different program and reopen the
+                # 1-ulp fusion-drift desync the shared-program discipline
+                # exists to prevent (the encoder feeds the same fn i16)
                 y_hat_parts.append(
                     self._deq_slice_fn(i)(self.params, sup, jnp.asarray(ys_np), mn_i)
                 )

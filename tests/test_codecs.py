@@ -112,7 +112,8 @@ class TestLMSFCCodec:
         yc, zs = analysis(codec.params, pad)
         hyper_idx = codec._hyper_idx_fn((yc.shape[1], yc.shape[2]))
         yi, mn = hyper_idx(codec.params, zs)
-        ysym_enc = np.asarray(codec._sym_fn()(yc, mn))[:3]
+        # _sym_fn returns (i8 wire plane, per-frame overflow count, i16)
+        ysym_enc = np.asarray(codec._sym_fn()(yc, mn)[2])[:3]
         zsym_enc, yidx_enc = np.asarray(zs)[:3], np.asarray(yi)[:3]
 
         out = codec.encode({"data": data}, tmp_path, "sym")
@@ -157,6 +158,69 @@ class TestLMSFCCodec:
             ]
         )
         np.testing.assert_array_equal(ysym_dec, ysym_enc)
+
+
+    def test_i8_wire_overflow_fallback(self, tmp_path):
+        """Symbols outside [-128,127] must NOT be corrupted by the i8 wire:
+        the per-frame saturation counter (learned.py _sym_fn/_drain_chunk)
+        must route the drain to the exact i16 plane. GDN-normalized latents
+        never overflow from real inputs, so inject a symbol program with a
+        +200 offset into the jit cache and check the BITSTREAM carries the
+        exact (un-saturated) symbols."""
+        import jax
+        import jax.numpy as jnp
+
+        from lmsfc_tpu.utils.readwrite import read_bytes, read_uchars, read_uints
+
+        codec = LMSFCCodec(num_filters=16, latent_filters=16, hyper_filters=8,
+                           out_channels=(8, 8, 8, 8), dtype="float32", seed=3)
+
+        @jax.jit
+        def shifted_sym(y, means):
+            s = (jnp.clip(jnp.round(y - means), -32768, 32767) + 200).astype(jnp.int16)
+            s8 = jnp.clip(s, -128, 127).astype(jnp.int8)
+            over = jnp.sum((s != s8.astype(jnp.int16)).reshape(s.shape[0], -1),
+                           axis=1, dtype=jnp.int32)
+            return s8, over, s
+
+        codec._jit_cache[("sym",)] = shifted_sym
+
+        data = feature_dict(batch=2, seed=11)
+        out = codec.encode({"data": data}, codec_output_dir=tmp_path, bitstream_name="o")
+
+        # recompute the intended symbols independently
+        feats = [jnp.transpose(jnp.asarray(v), (0, 2, 3, 1)) for v in data.values()]
+        chunk = codec.chunk_frames
+        pad = [jnp.concatenate([f, jnp.repeat(f[-1:], chunk - 2, axis=0)]) for f in feats]
+        yc, zs = codec._analysis_fn(tuple(f.shape for f in pad), 0)(codec.params, pad)
+        yi, mn = codec._hyper_idx_fn((yc.shape[1], yc.shape[2]))(codec.params, zs)
+        _, over, ysym = shifted_sym(yc, mn)
+        assert int(np.asarray(over)[:2].sum()) > 0, "patch failed to overflow i8"
+        ysym, yi = np.asarray(ysym)[:2], np.asarray(yi)[:2]
+
+        gc_table, _ = codec._tables()
+        with open(out["bitstream"], "rb") as fd:
+            fd.read(4)
+            read_uchars(fd, 5)
+            (nf,) = read_uints(fd, 1)
+            for _ in range(len(data)):
+                (nl,) = read_uchars(fd, 1)
+                read_bytes(fd, nl)
+                read_uints(fd, 3)
+            y_h, y_w, y_c = read_uints(fd, 3)
+            read_uints(fd, 3)
+            yst = []
+            for _ in range(nf):
+                (zl,) = read_uints(fd, 1)
+                read_bytes(fd, zl)
+                (yl,) = read_uints(fd, 1)
+                yst.append(read_bytes(fd, yl))
+        for i in range(nf):
+            got = codec._dec.decode_with_indexes(
+                yst[i], yi[i].ravel(), gc_table.cdfs,
+                gc_table.cdf_lengths, gc_table.offsets,
+            ).reshape(y_h, y_w, y_c)
+            np.testing.assert_array_equal(got, ysym[i])
 
     def test_odd_sfu_like_shapes(self, tmp_path):
         codec = LMSFCCodec(

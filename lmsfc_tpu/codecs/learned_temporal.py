@@ -204,10 +204,20 @@ class LMSFCTemporalCodec(MeshJitCache):
         return self._cached_jit(("pred", y_shape), fn, arity=5, layout="rdddr")
 
     def _sym_fn(self):
-        """Encoder-only: fn(y_t, means) -> i16 symbols."""
+        """Encoder-only: fn(y_t, means) -> (y_sym8 i8, n_over i32[gops],
+        y_sym i16). The i8 plane is the wire copy (half the download; see
+        codecs/learned.py _sym_fn); the i16 plane stays device-resident for
+        the closed-loop dequant AND as the exact fallback when a GOP row
+        saturates i8."""
 
         def fn(y_t, means):
-            return jnp.clip(jnp.round(y_t - means), -32768, 32767).astype(jnp.int16)
+            s = jnp.clip(jnp.round(y_t - means), -32768, 32767).astype(jnp.int16)
+            s8 = jnp.clip(s, -128, 127).astype(jnp.int8)
+            over = jnp.sum(
+                (s != s8.astype(jnp.int16)).reshape(s.shape[0], -1),
+                axis=1, dtype=jnp.int32,
+            )
+            return s8, over, s
 
         return self._cached_jit(("sym",), fn, arity=2, repl_args=0)
 
@@ -283,17 +293,27 @@ class LMSFCTemporalCodec(MeshJitCache):
                 self.params, y_prev,
                 self._dp_put(sh[t::ip]), self._dp_put(mh[t::ip]), t == 0,
             )
-            ys_t = sym(self._dp_put(y[t::ip]), means_t)
-            y_prev = dequant(ys_t, means_t)  # closed loop on device
-            handles.append((yi_t, ys_t))
+            ys8_t, over_t, ys16_t = sym(self._dp_put(y[t::ip]), means_t)
+            y_prev = dequant(ys16_t, means_t)  # closed loop on device (exact)
+            handles.append((yi_t, ys8_t, over_t, ys16_t))
 
         # one batched round trip for every integer plane (separate fetches
-        # each pay full link latency — see codecs/learned.py)
+        # each pay full link latency — see codecs/learned.py); the y planes
+        # ride as i8 with per-GOP saturation counters, falling back to the
+        # exact i16 plane for the rare offset that overflows
         flat = jax.device_get(
-            [z_sym_dev] + [h[0] for h in handles] + [h[1] for h in handles]
+            [z_sym_dev]
+            + [h[0] for h in handles]
+            + [h[1] for h in handles]
+            + [h[2] for h in handles]
         )
         z_sym = flat[0]
-        yi_off, ys_off = flat[1 : 1 + ip], flat[1 + ip :]
+        yi_off = flat[1 : 1 + ip]
+        ys_off = list(flat[1 + ip : 1 + 2 * ip])
+        over_off = flat[1 + 2 * ip :]
+        for off in range(ip):
+            if over_off[off].any():
+                ys_off[off] = jax.device_get(handles[off][3])
         z_idx = np.broadcast_to(
             np.arange(z_shape[-1], dtype=np.int32), tuple(z_shape[1:])
         ).ravel()

@@ -39,13 +39,23 @@ class BaseDataCatalog:
         **kwargs,
     ):
         self.root = Path(root)
-        self.imgs_folder = self.root / imgs_folder
         self.annotation_path = (
             self.root / annotation_file if annotation_file else None
         )
         self.seqinfo_path = self.root / seqinfo if seqinfo else None
         self.dataset_name = dataset_name or self.name
         self.seq_info = self._read_seqinfo()
+        # MOT layouts declare the frame dir in seqinfo (imDir=img1, ref
+        # datasets/utils.py:152); honor it when imgs_folder is left at the
+        # default and the default dir doesn't exist
+        im_dir = self.seq_info.get("im_dir")
+        if (
+            imgs_folder == "images"
+            and im_dir
+            and not (self.root / imgs_folder).exists()
+        ):
+            imgs_folder = im_dir
+        self.imgs_folder = self.root / imgs_folder
 
     def _read_seqinfo(self) -> Dict[str, Any]:
         """seqinfo.ini -> {name, fps, length, w, h} (ref datasets/utils.py:152)."""
@@ -62,6 +72,7 @@ class BaseDataCatalog:
             "length": s.getint("seqLength", 0),
             "width": s.getint("imWidth", 0),
             "height": s.getint("imHeight", 0),
+            "im_dir": s.get("imDir", ""),
         }
 
     @property

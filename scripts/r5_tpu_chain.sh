@@ -81,6 +81,13 @@ oiv6_q4_rerun() {
 }
 
 mot_sweep() {
+  # self-label on the SAME device the eval runs on: gt from the fixed-seed
+  # JDE on uncompressed frames, so the bypass run reproduces gt exactly
+  # (cpu-labeled gt would differ from tpu eval arithmetic at box margins)
+  if [ ! -s data/dummy_tvd/DTVD-01/gt/gt.txt ]; then
+    python scripts/make_dummy_tvd.py --out data/dummy_tvd \
+      --head checkpoints/jde_head/head.npz --device tpu
+  fi
   WITH_BYPASS=1 scripts/evaluation/eval_on_dummy_tvd_lmsfc.sh \
     data/dummy_tvd runs/mot_r5 checkpoints/jde_codec/joint \
     checkpoints/jde_head/head.npz

@@ -87,3 +87,57 @@ class TestMpegToOiv6:
         data = json.loads(out.read_text())
         assert data["annotations"][1]["isgroupof"] == 1
         assert data["categories"][0]["name"] == "person"
+
+
+class TestMotImDirFallback:
+    """MOT layouts declare the frame dir in seqinfo (imDir=img1); the
+    catalog must honor it when imgs_folder is left at its default and
+    ./images does not exist (catalogs.py BaseDataCatalog.__init__)."""
+
+    def _mot_seq(self, tmp_path, im_dir="img1"):
+        import cv2
+
+        (tmp_path / im_dir).mkdir()
+        for i in (1, 2):
+            cv2.imwrite(
+                str(tmp_path / im_dir / f"{i:06d}.png"),
+                np.zeros((16, 24, 3), np.uint8),
+            )
+        (tmp_path / "seqinfo.ini").write_text(
+            "[Sequence]\nname=T-01\nimDir=%s\nframeRate=30\nseqLength=2\n"
+            "imWidth=24\nimHeight=16\nimExt=.png\n" % im_dir
+        )
+        (tmp_path / "gt").mkdir()
+        (tmp_path / "gt" / "gt.txt").write_text("1,1,1,1,5,5,1,1,1\n")
+
+    def test_imdir_from_seqinfo(self, tmp_path):
+        from lmsfc_tpu.datasets.catalogs import MPEGTVDTRACKINGCatalog
+
+        self._mot_seq(tmp_path)
+        cat = MPEGTVDTRACKINGCatalog(
+            root=str(tmp_path), annotation_file="gt/gt.txt", seqinfo="seqinfo.ini"
+        )
+        assert len(cat.image_files()) == 2
+
+    def test_explicit_imgs_folder_wins(self, tmp_path):
+        from lmsfc_tpu.datasets.catalogs import MPEGTVDTRACKINGCatalog
+
+        self._mot_seq(tmp_path)
+        cat = MPEGTVDTRACKINGCatalog(
+            root=str(tmp_path), imgs_folder="img1",
+            annotation_file="gt/gt.txt", seqinfo="seqinfo.ini",
+        )
+        assert len(cat.image_files()) == 2
+
+    def test_existing_images_dir_preferred(self, tmp_path):
+        import cv2
+
+        from lmsfc_tpu.datasets.catalogs import MPEGTVDTRACKINGCatalog
+
+        self._mot_seq(tmp_path)
+        (tmp_path / "images").mkdir()
+        cv2.imwrite(str(tmp_path / "images" / "x.png"), np.zeros((4, 4, 3), np.uint8))
+        cat = MPEGTVDTRACKINGCatalog(
+            root=str(tmp_path), annotation_file="gt/gt.txt", seqinfo="seqinfo.ini"
+        )
+        assert len(cat.image_files()) == 1

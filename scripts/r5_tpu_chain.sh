@@ -29,6 +29,11 @@ stage() {  # [STAGE_TIMEOUT=s] stage <n> <name> <cmd...>
   # block the rest of the chain for the whole round.
   local n=$1 name=$2; shift 2
   local marker="runs/chain_r5/$n-$name.done"
+  # never start a stage past the deadline: the driver's end-of-round bench
+  # must not find the chip busy (a concurrent job skews or wedges it)
+  if [ -n "${CHAIN_DEADLINE_EPOCH:-}" ] && [ "$(date +%s)" -ge "$CHAIN_DEADLINE_EPOCH" ]; then
+    echo "=== stage $n ($name): past deadline, stopping chain ==="; exit 0
+  fi
   if [ "$n" -lt "$FROM" ] || [ -f "$marker" ]; then
     echo "=== stage $n ($name): skipped ==="; return 0
   fi

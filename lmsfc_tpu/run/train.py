@@ -204,6 +204,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         defaults={"training": {"ckpt_root": "./checkpoints"}},
     )
     t = conf.training
+    # training.device=cpu pins the platform (the axon sitecustomize
+    # force-registers the remote TPU backend and overrides the
+    # JAX_PLATFORMS env var — only the programmatic config wins; same
+    # escape hatch as eval's misc.device, run/eval_split_inference.py)
+    device = t.get("device", "")
+    if device:
+        jax.config.update("jax_platforms", device)
     lmbdas = list(t.get("lmbdas", DEFAULT_LMBDAS))
     n_dev = jax.device_count()
     batch = t.get("batch", 8)

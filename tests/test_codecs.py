@@ -222,6 +222,15 @@ class TestLMSFCCodec:
             ).reshape(y_h, y_w, y_c)
             np.testing.assert_array_equal(got, ysym[i])
 
+        # decode leg: the chunk's symbols exceed i8, so _synthesize must
+        # promote the upload to i16 (a saturating i8 cast would silently
+        # reconstruct from wrong symbols); determinism across two decodes
+        # exercises that path end-to-end
+        d1 = codec.decode(out["bitstream"])
+        d2 = codec.decode(out["bitstream"])
+        for k in data:
+            assert np.array_equal(np.asarray(d1["data"][k]), np.asarray(d2["data"][k]))
+
     def test_odd_sfu_like_shapes(self, tmp_path):
         codec = LMSFCCodec(
             num_filters=16, latent_filters=16, hyper_filters=8,

@@ -23,6 +23,13 @@ _LIB = _HERE / "librans.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
+# Interleaving costs (S-1) extra 8-byte flushes (+ a few normalization
+# words) per stream — negligible on real frame payloads, dominant on tiny
+# ones. Both sides know the symbol count n before decoding, so the stream
+# count is chosen deterministically from it: payloads below this many
+# symbols always code single-stream (no tag byte needed on the wire).
+INTERLEAVE_MIN_SYMS = 4096
+
 
 def ensure_built(force: bool = False) -> Path:
     """Compile librans.so if missing or stale; returns its path."""
@@ -105,6 +112,8 @@ class RansEncoder:
         offsets = _i32(offsets)
         assert symbols.shape == indexes.shape
         n = symbols.size
+        if streams in (2, 4) and n < INTERLEAVE_MIN_SYMS:
+            streams = 1  # deterministic from n; decoder applies the same rule
         # worst case ~ (1 symbol + ~11 bypass nibbles) words per symbol + flush
         cap = 4 * (13 * n) + 64
         out = np.empty(cap, dtype=np.uint8)
@@ -180,6 +189,8 @@ class RansDecoder:
         cdf_lengths = _i32(cdf_lengths)
         offsets = _i32(offsets)
         n = indexes.size
+        if streams in (2, 4) and n < INTERLEAVE_MIN_SYMS:
+            streams = 1  # mirrors the encoder's n-based rule
         buf = np.frombuffer(data, dtype=np.uint8)
         buf = np.ascontiguousarray(buf)
         out = np.empty(n, dtype=np.int32)

@@ -159,6 +159,28 @@ class TestInterleavedStreams:
         out = dec.decode_with_indexes(bs, indexes, table.cdfs, table.cdf_lengths, table.offsets)
         assert np.array_equal(out, symbols)
 
+
+    def test_small_payload_stays_single_stream(self):
+        """Payloads under INTERLEAVE_MIN_SYMS code single-stream regardless
+        of the configured stream count (the 24-byte interleave flush
+        overhead would dominate tiny streams); the rule is a deterministic
+        function of n, so encoder and decoder agree without a wire tag."""
+        from lmsfc_tpu.native.rans import INTERLEAVE_MIN_SYMS
+
+        table = _gaussian_cdf_table()
+        rng = np.random.default_rng(7)
+        n = 512
+        assert n < INTERLEAVE_MIN_SYMS
+        indexes = rng.integers(0, table.cdfs.shape[0], n).astype(np.int32)
+        symbols = rng.integers(-8, 9, n).astype(np.int32)
+        enc1, enc4 = RansEncoder(streams=1), RansEncoder(streams=4)
+        bs1 = enc1.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        bs4 = enc4.encode_with_indexes(symbols, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        assert bs1 == bs4
+        out = RansDecoder(streams=4).decode_with_indexes(
+            bs4, indexes, table.cdfs, table.cdf_lengths, table.offsets)
+        assert np.array_equal(out, symbols)
+
     def test_invalid_stream_count_raises(self):
         table = _gaussian_cdf_table()
         enc = RansEncoder()

@@ -118,4 +118,5 @@ stage 9 headline-eval bash -c '
     --frames 64 --seeds 4243 9091 --bootstrap 200 \
     --out runs/rd_r05_plain --report RD_r05_plain.json
 '
+stage 10 assemble python scripts/rd_r05_report.py
 echo "=== CHAIN COMPLETE $(date) ==="

@@ -57,6 +57,23 @@ _VERSION = 5  # v5: rANS payloads are 4-way interleaved (native/rans.cpp);
 _RANS_STREAMS = 4
 
 
+def _wire_stats(tag: str, arrays) -> None:
+    """LMSFC_WIRE_STATS=1: log bytes crossing the host<->device wire per
+    batched transfer — the data that decides whether the next perf round
+    targets the wire (sparse packing), the host coder, or dispatch."""
+    import logging
+    import os
+
+    if os.environ.get("LMSFC_WIRE_STATS") != "1":
+        return
+    total = sum(
+        getattr(a, "nbytes", 0) for a in jax.tree_util.tree_leaves(arrays)
+    )
+    logging.getLogger("LMSFCCodec").info(
+        "wire[%s]: %.1f KB", tag, total / 1024.0
+    )
+
+
 @register_codec("lmsfc")
 class LMSFCCodec(MeshJitCache):
     def __init__(
@@ -411,6 +428,7 @@ class LMSFCCodec(MeshJitCache):
             # one batched device_get: z, indexes, i8 symbol planes, and the
             # per-frame saturation counters all land in a single relay call
             flat = jax.device_get([zs_c] + yis + yss + overs)
+            _wire_stats("enc_down", flat)
             z_np = flat[0]
             yi_np = flat[1 : 1 + n_sl]
             ys_np = list(flat[1 + n_sl : 1 + 2 * n_sl])
@@ -634,6 +652,7 @@ class LMSFCCodec(MeshJitCache):
 
         def _drain_chunk(s, cnt, yi_c):
             yi_np = jax.device_get(yi_c)
+            _wire_stats("dec_down_idx", yi_np)
             return [
                 code_pool.submit(_dec_y_frame, s + j, yi_np[j])
                 for j in range(cnt)
@@ -660,6 +679,7 @@ class LMSFCCodec(MeshJitCache):
                     arr = arr.astype(np.int8)
                 else:
                     arr = arr.astype(np.int16)
+                _wire_stats("dec_up_sym", arr)
                 recon = synthesis(self.params, jnp.asarray(arr), mn_c)
                 recon_parts.append([r[:cnt] for r in recon])
 

@@ -8,10 +8,14 @@
 #   1. bench.py -> BENCH_inround_r4.json (VERDICT item 1)
 #   2. GDN Pallas TPU equivalence test  (item 7)
 #   3. q4 lambda-96 retrain + single re-eval (item 6)
-#   4. JDE-pyramid codec train (item 3, consumed by the MOT sweep)
-#   5. temporal residual-coder extension (item 4)
-#   6. joints 150k->200k + eval (item 5)
-#   7. multi-seed headline eval with bootstrap spread (item 5)
+#   4. OIV6 q4 re-run + re-aggregate (item 2)
+#   5. JDE-pyramid codec train (item 3)
+#   6. MOT sweep: self-label on TPU + bypass + 4 qp (item 3)
+#   7. joints 150k->200k (item 5)
+#   8. multi-seed headline eval with bootstrap spread (item 5)
+#   9. assemble RD_r05.json
+#  10. temporal residual-coder extension (item 4, lowest-ranked long job)
+#  11. reassemble RD_r05.json with the refreshed temporal section
 #
 # Each stage writes a .done marker so the chain is resumable after a
 # relay wedge kills it partway.
@@ -104,9 +108,11 @@ stage 3 q4fix scripts/r5_q4fix.sh || exit 1
 stage 4 oiv6-q4 oiv6_q4_rerun
 stage 5 jde-codec scripts/r5_jde_codec.sh || exit 1
 stage 6 mot-sweep mot_sweep
-STAGE_TIMEOUT=14400 stage 7 temporal env STEPS=50000 scripts/r4_temporal_extend.sh
-STAGE_TIMEOUT=14400 stage 8 extend200k scripts/r4_extend200k.sh
-stage 9 headline-eval bash -c '
+# ChARM hardening (VERDICT item 5: 200k + wider eval) outranks the
+# temporal extension (item 4), so it runs first — if the relay recovers
+# late and the deadline cuts the chain, the higher-ranked evidence lands
+STAGE_TIMEOUT=14400 stage 7 extend200k scripts/r4_extend200k.sh
+stage 8 headline-eval bash -c '
   stdbuf -oL python scripts/rd_eval.py \
     --ckpt-root checkpoints --single-dir r4_single --joint-dir r4_charm/joint \
     --num-slices 4 --lrp --latent-stride-div 1 --lmbdas 0.5 4.0 32.0 96.0 \
@@ -118,5 +124,7 @@ stage 9 headline-eval bash -c '
     --frames 64 --seeds 4243 9091 --bootstrap 200 \
     --out runs/rd_r05_plain --report RD_r05_plain.json
 '
-stage 10 assemble python scripts/rd_r05_report.py
+stage 9 assemble python scripts/rd_r05_report.py
+STAGE_TIMEOUT=14400 stage 10 temporal env STEPS=50000 scripts/r4_temporal_extend.sh
+stage 11 reassemble python scripts/rd_r05_report.py
 echo "=== CHAIN COMPLETE $(date) ==="

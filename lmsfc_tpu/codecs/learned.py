@@ -708,11 +708,14 @@ class LMSFCCodec(MeshJitCache):
                 jnp.concatenate([p[i] for p in recon_parts], axis=0)
                 for i in range(len(names))
             ]
-        # force execution with a scalar readback per level (the axon relay's
-        # block_until_ready can return early; a 4-byte index readback is the
-        # reliable barrier) — timing stays honest, tensors stay on device
-        for r in merged:
-            _ = float(r[0, 0, 0, 0])
+        # force execution with ONE fused scalar readback (the axon relay's
+        # block_until_ready can return early; a 4-byte readback is the
+        # reliable barrier). Summing one element per level ON DEVICE chains
+        # every level into a single tiny program, so the barrier costs one
+        # link round trip instead of one per level — on a ~37 ms RTT relay
+        # that is 3 fewer RTTs per decode call. Timing stays honest,
+        # tensors stay on device.
+        _ = float(sum(r[0, 0, 0, 0] for r in merged))
         return {"data": dict(zip(names, merged))}
 
     def _decode_charm(
@@ -777,8 +780,8 @@ class LMSFCCodec(MeshJitCache):
                 jnp.concatenate([p[i] for p in recon_parts], axis=0)
                 for i in range(len(names))
             ]
-        for r in merged:
-            _ = float(r[0, 0, 0, 0])
+        # single fused barrier (see the plain decode tail)
+        _ = float(sum(r[0, 0, 0, 0] for r in merged))
         return {"data": dict(zip(names, merged))}
 
     @property

@@ -439,8 +439,9 @@ class LMSFCTemporalCodec(MeshJitCache):
         shapes_hw = tuple((h, w) for (_, h, w) in level_shapes)
         synthesis = self._synthesis_fn(shapes_hw, n_frames)
         recon = synthesis(self.params, y_hat_all)
-        for r in recon:
-            _ = float(r[0, 0, 0, 0])  # scalar-readback execution barrier
+        # single fused scalar-readback barrier: one link round trip instead
+        # of one per level (see codecs/learned.py decode tail)
+        _ = float(sum(r[0, 0, 0, 0] for r in recon))
         return {"data": dict(zip(names, recon))}
 
     @property

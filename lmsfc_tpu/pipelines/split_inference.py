@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+import jax
 import numpy as np
 
 from ..registry import register_pipeline
@@ -145,8 +146,12 @@ class VideoSplitInference(BasePipeline):
                 for k, v in feats.items():
                     if k != "data":
                         meta.setdefault(k, v)
-                for tag, t in feats["data"].items():
-                    t = np.asarray(t)
+                # ONE batched download per frame: per-level np.asarray costs
+                # a full link round trip each (4 levels x ~37 ms on the
+                # relay); device_get of the list is a single transfer.
+                # No-op for numpy inputs (feature-cache hits).
+                level_vals = jax.device_get(list(feats["data"].values()))
+                for tag, t in zip(feats["data"].keys(), level_vals):
                     if self.feature_buffer_dtype == "float16":
                         # halves the host buffer AND the re-upload into the
                         # learned codec (f16 mantissa is a superset of the

@@ -182,12 +182,14 @@ class JDE1088x608(BaseWrapper):
         return self._jit_cache[key]
 
     def features_to_output(self, x: Dict, device: str = "tpu") -> List[List[Dict]]:
-        data = {k: jnp.transpose(jnp.asarray(np.asarray(v)), (0, 2, 3, 1)) for k, v in x["data"].items()}
+        # no host cast on the pyramid: decoded features are DEVICE-RESIDENT
+        # (jnp.asarray is a no-op there; a single upload for numpy input)
+        data = {k: jnp.transpose(jnp.asarray(v), (0, 2, 3, 1)) for k, v in x["data"].items()}
         n = next(iter(data.values())).shape[0]
         shapes = tuple(v.shape[1:] for v in data.values())
         fn = self._nn2_fn(shapes)
-        boxes, confs, embs = fn(self._params, data)
-        boxes, confs, embs = np.asarray(boxes), np.asarray(confs), np.asarray(embs)
+        # one batched download (separate np.asarray = one link RTT each)
+        boxes, confs, embs = jax.device_get(fn(self._params, data))
 
         # the nominal JDE geometry must decode exactly 54264 proposals
         # (ref asserts this, jde.py:206-208); count recorded at trace time
@@ -213,7 +215,7 @@ class JDE1088x608(BaseWrapper):
                 fb, fc, fe = full(
                     self._params, {k2: v[i : i + 1] for k2, v in data.items()}
                 )
-                b, c, e = np.asarray(fb), np.asarray(fc), np.asarray(fe)
+                b, c, e = jax.device_get((fb, fc, fe))
             outputs.append(self._track_frame(b, c, e, x))
         return outputs
 

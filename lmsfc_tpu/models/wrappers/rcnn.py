@@ -273,20 +273,33 @@ class _RCNNWrapper(BaseWrapper):
         org = x.get("org_input_size", {"height": h, "width": w})
         oh, ow = org["height"], org["width"]
 
+        # NO np.asarray on the pyramid: the decoded features are
+        # DEVICE-RESIDENT after codec.decode, and a host cast would pay a
+        # full download + re-upload per frame; jnp.asarray is a no-op for
+        # device arrays and a single upload for numpy (feature-cache) input
         pyr_batched = tuple(
-            jnp.transpose(jnp.asarray(np.asarray(data[k])), (0, 2, 3, 1)) for k in self._splits
+            jnp.transpose(jnp.asarray(data[k]), (0, 2, 3, 1)) for k in self._splits
         )
         n = pyr_batched[0].shape[0]
         fn = self._part2_fn(tuple(p.shape[1:] for p in pyr_batched), (h, w))
         det = fn(self._params_part2, pyr_batched)
-        det = {k: np.asarray(v) for k, v in det.items()}
+        # one batched download for all detection planes (per-key np.asarray
+        # pays a link round trip each)
+        det = dict(zip(det.keys(), jax.device_get(list(det.values()))))
 
+        # D2 detector_postprocess rescale+clip on HOST numpy: the boxes are
+        # already downloaded, and a device round trip for a [N,4] multiply
+        # costs two more link RTTs per frame
+        scale = np.asarray([ow / w, oh / h, ow / w, oh / h],
+                           det["boxes"].dtype)
         results = []
         for i in range(n):
-            boxes = rescale_boxes(jnp.asarray(det["boxes"][i]), (h, w), (oh, ow))
+            boxes = det["boxes"][i] * scale
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, ow)
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, oh)
             valid = det["valid"][i]
             res = {
-                "boxes": np.asarray(boxes)[valid],
+                "boxes": boxes[valid],
                 "scores": det["scores"][i][valid],
                 "classes": det["classes"][i][valid],
                 "image_size": (oh, ow),

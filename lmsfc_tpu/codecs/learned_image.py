@@ -252,21 +252,22 @@ class HyperpriorImageCodec(_LearnedImageCodec):
         )
         y_dev, z_sym_dev = enc(self.params, x)
         eb, medians, gc = self._tables()
-        z_sym = np.asarray(z_sym_dev)
-        z_idx = eb_build_indexes(z_sym.shape[1:], z_sym.shape[-1])
-        z_bs = self._enc.encode_with_indexes(
-            z_sym.ravel(), z_idx.ravel(), eb.cdfs, eb.cdf_lengths, eb.offsets
-        )
+        # dispatch the whole device graph first (async), then ONE batched
+        # download for all three integer planes — separate np.asarray calls
+        # pay a full link round trip each
         y_hw = (y_dev.shape[1], y_dev.shape[2])
         yi_dev, means_dev = self._hs_idx_fn(z_sym_dev.shape, y_hw)(self.params, z_sym_dev)
         sym = self._fn(
             ("sym",),
             lambda: lambda yy, mm: jnp.clip(jnp.round(yy - mm), -32768, 32767).astype(jnp.int16),
         )
-        y_sym = np.asarray(sym(y_dev, means_dev))
+        z_sym, y_sym, yi = jax.device_get([z_sym_dev, sym(y_dev, means_dev), yi_dev])
+        z_idx = eb_build_indexes(z_sym.shape[1:], z_sym.shape[-1])
+        z_bs = self._enc.encode_with_indexes(
+            z_sym.ravel(), z_idx.ravel(), eb.cdfs, eb.cdf_lengths, eb.offsets
+        )
         y_bs = self._enc.encode_with_indexes(
-            y_sym.ravel(), np.asarray(yi_dev).ravel(),
-            gc.cdfs, gc.cdf_lengths, gc.offsets,
+            y_sym.ravel(), yi.ravel(), gc.cdfs, gc.cdf_lengths, gc.offsets,
         )
         write_uints(fd, (y_hw[0], y_hw[1], z_sym.shape[1], z_sym.shape[2]))
         write_uints(fd, (len(z_bs),))

@@ -143,7 +143,16 @@ def main() -> None:
                     help="JOINT checkpoint has ChARM LRP nets")
     ap.add_argument("--lmbdas", type=float, nargs="+", default=None,
                     help="lambda grid (defaults to the module LMBDAS)")
+    ap.add_argument("--device", default="default", choices=["default", "cpu"],
+                    help="cpu pins the jax platform (relay-wedge fallback; "
+                         "the axon sitecustomize ignores JAX_PLATFORMS, only "
+                         "jax.config.update works)")
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from lmsfc_tpu.codecs.learned import LMSFCCodec
     from lmsfc_tpu.tools.bdrate import bd_rate, bd_rate_pchip

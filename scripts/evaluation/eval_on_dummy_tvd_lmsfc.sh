@@ -52,6 +52,9 @@ for seq in "${DATA_ROOT}"/DTVD-*/; do
       codec.settings.eval_encode=bitrate \
       codec.settings.out_channels='[256,512,1024]' \
       codec.settings.num_rates=4 \
+      codec.settings.num_filters=128 \
+      codec.settings.latent_filters=128 \
+      codec.settings.hyper_filters=96 \
       codec.settings.qp="${q}" \
       codec.settings.checkpoint_dir="${CKPT}" \
       ${CODEC_ARGS} \

@@ -39,7 +39,7 @@ label() {
 }
 
 sweep() {
-  WITH_BYPASS=1 CODEC_ARGS="misc.device=cpu" \
+  WITH_BYPASS=${WITH_BYPASS:-1} CODEC_ARGS="misc.device=cpu" \
     scripts/evaluation/eval_on_dummy_tvd_lmsfc.sh \
     data/dummy_tvd_cpu runs/mot_r5_cpu checkpoints/jde_codec/joint \
     checkpoints/jde_head/head.npz

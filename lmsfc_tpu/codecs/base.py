@@ -58,7 +58,16 @@ class BaseCodec:
 
 @register_codec("bypass")
 class Bypass(BaseCodec):
-    """No compression; bytes = 4 * numel (fp32 proxy); optional n-bit noise."""
+    """No compression; bytes = 4 * numel (fp32 proxy); optional n-bit quant.
+
+    With nbit_quant=n the features are min-max quantized to n bits AND the
+    reported bytes become n/8 * numel — the honest storage cost of the
+    n-bit fixed-point representation — so an nbit ladder (e.g. 10/8/6/4)
+    is a zero-training accuracy-vs-rate anchor through the full pipeline.
+    (The reference's bypass keeps the fp32 proxy under quantization; ours
+    diverges deliberately so the ladder is a rate ladder, not only a noise
+    experiment. Ref: compressai_vision/codecs/bypass.py.)
+    """
 
     def __init__(self, nbit_quant: int = -1, **kwargs):
         super().__init__(**kwargs)
@@ -82,7 +91,8 @@ class Bypass(BaseCodec):
                 q = jnp.round(q) / max_lvl
                 input["data"][tag] = q * (maxv - minv) + minv
 
-        total_bytes = total_elements * 4
+        bytes_per_val = self.nbit_quant / 8 if max_lvl is not None else 4
+        total_bytes = total_elements * bytes_per_val
         return {"bytes": [total_bytes / n] * n, "bitstream": input}
 
     def decode(self, input, codec_output_dir="", file_prefix="", org_img_size=None, img_input=False):

@@ -33,7 +33,10 @@ class TestBypass:
         codec = Bypass(nbit_quant=8, eval_encode="bpp")
         data = feature_dict(seed=1)
         orig = {k: np.asarray(v).copy() for k, v in data.items()}
+        n_elem = sum(v.size for v in orig.values())
         out = codec.encode({"data": data})
+        # n-bit quantization reports the n-bit storage cost, not fp32
+        assert sum(out["bytes"]) == pytest.approx(n_elem * 8 / 8)
         dec = codec.decode(out["bitstream"])
         for k in orig:
             a, b = orig[k], np.asarray(dec["data"][k])

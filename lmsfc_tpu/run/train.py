@@ -141,7 +141,17 @@ def train_rate_point(
     )
     mgr = CheckpointManager(ckpt_dir, max_to_keep=t.get("max_to_keep", 3))
     start_step = 0
-    restored = mgr.restore(template={"params": state.params, "opt_state": state.opt_state})
+    try:
+        restored = mgr.restore(
+            template={"params": state.params, "opt_state": state.opt_state}
+        )
+    except Exception:
+        # params-only checkpoint (scripts/params_store.py import): resume the
+        # weights and restart the optimizer moments rather than crashing
+        restored = mgr.restore(template={"params": state.params})
+        if restored is not None:
+            restored = {"params": restored["params"], "opt_state": state.opt_state}
+            print("params-only checkpoint: optimizer state restarted")
     if restored is not None:
         from ..utils.tree import device_pin
 

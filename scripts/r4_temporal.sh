@@ -26,12 +26,12 @@ fi
 
 echo "=== temporal single-rate trainings ==="
 stdbuf -oL python -m lmsfc_tpu.run.train --config cfgs/train_lmsfc.yaml $COMMON \
-  "training.lmbdas=[0.5,4.0,32.0,256.0]" training.steps=$STEPS \
+  "training.lmbdas=${TEMPORAL_LMBDAS:-[0.5,4.0,32.0,256.0]}" training.steps=$STEPS \
   training.ckpt_root=checkpoints/r4_temporal 2>&1 | tee runs/r4_temporal_train.log
 
 echo "=== temporal R-D eval ==="
 stdbuf -oL python scripts/rd_eval_temporal.py \
   --temporal-root checkpoints/r4_temporal --intra-root checkpoints/r4_single \
-  --intra-period 6 \
+  --intra-period 6 ${TEMPORAL_EVAL_LMBDAS:+--lmbdas $TEMPORAL_EVAL_LMBDAS} \
   2>&1 | tee runs/r4_temporal_eval.log
 echo "=== TEMPORAL DONE ==="

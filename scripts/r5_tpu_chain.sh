@@ -64,26 +64,25 @@ wait_for_file() {  # <path> <timeout_s> — cross-dependency on the CPU prereq t
   done
 }
 
+bench_ok() {
+  # NO heredocs in exported functions: export -f mangles them through the
+  # bash -c stage shim (stage 1 died with a python IndentationError)
+  python scripts/check_bench_json.py BENCH_inround_r4.json
+}
+
 bench_snapshot() {
   # skip the run if a good (non-partial) snapshot already exists
-  if python - <<'EOF'
-import json, sys
-try:
-    d = json.load(open("BENCH_inround_r4.json"))
-except Exception:
-    sys.exit(1)
-sys.exit(0 if d.get("value") is not None else 1)
-EOF
-  then echo "existing good BENCH_inround_r4.json; skipping run"; return 0; fi
+  if bench_ok; then
+    echo "existing good BENCH_inround_r4.json; skipping run"
+    milestone_commit "Bench snapshot: in-round TPU capture (r4)" \
+      BENCH_inround_r4.json runs/bench_inround_r4.stderr.log
+    return 0
+  fi
   python bench.py > BENCH_inround_r4.json 2> runs/bench_inround_r4.stderr.log
   cat BENCH_inround_r4.json
   # a partial JSON ({"value": null, ...}) means the relay was down: fail
   # the stage so the chain stops and the next healthy window retries
-  python - <<'EOF'
-import json, sys
-d = json.load(open("BENCH_inround_r4.json"))
-sys.exit(0 if d.get("value") is not None else 1)
-EOF
+  bench_ok
   local rc=$?
   [ $rc -eq 0 ] && milestone_commit "Bench snapshot: in-round TPU capture (r4)" \
     BENCH_inround_r4.json runs/bench_inround_r4.stderr.log
@@ -219,7 +218,7 @@ temporal_rebuild() {
     artifacts/params/temporal_*.npz runs/rd_temporal RD_r04_temporal.json runs/r4_temporal_train.log
 }
 
-export -f bench_snapshot gdn_tpu_test singles_rebuild oiv6_sweep jde_codec_train \
+export -f bench_ok bench_snapshot gdn_tpu_test singles_rebuild oiv6_sweep jde_codec_train \
   mot_sweep joints_to joints_150k joints_200k headline_eval assemble_report \
   temporal_rebuild milestone_commit wait_for_file
 export TRAIN_COMMON JOINT_LMBDAS

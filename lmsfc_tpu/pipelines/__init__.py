@@ -1,4 +1,5 @@
 from .base import BasePipeline, Parts
+from .multi_task import SingleInputMultipleTasks
 from .remote_inference import ImageRemoteInference, VideoRemoteInference
 from .split_inference import ImageSplitInference, VideoSplitInference
 
@@ -9,4 +10,5 @@ __all__ = [
     "VideoSplitInference",
     "ImageRemoteInference",
     "VideoRemoteInference",
+    "SingleInputMultipleTasks",
 ]

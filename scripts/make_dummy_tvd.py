@@ -79,6 +79,8 @@ def self_label(seq_dir: Path, head: str | None, hw) -> int:
                 f"{idx + 1},{t['track_id']},{x:.2f},{y:.2f},{w:.2f},{h:.2f},1,1,1"
             )
         print(f"{path.name}: {len(tracks)} tracks", flush=True)
+    # frames may predate write_seq's gt/ mkdir (r4 chain stage 6 crashed here)
+    (seq_dir / "gt").mkdir(parents=True, exist_ok=True)
     (seq_dir / "gt" / "gt.txt").write_text("\n".join(rows) + "\n")
     return len(rows)
 

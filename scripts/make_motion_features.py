@@ -32,8 +32,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from make_training_features import _upsample2d  # scripts/ sibling
 
 
-def motion_clip(rng: np.random.Generator, t: int, h: int, w: int):
-    """List of t BGR uint8 frames: textured background + moving objects."""
+def motion_clip(
+    rng: np.random.Generator, t: int, h: int, w: int, return_boxes: bool = False
+):
+    """List of t BGR uint8 frames: textured background + moving objects.
+
+    With return_boxes=True also returns, per frame, the TRUE object boxes as
+    a list of (obj_id, x, y, bw, bh) tlwh tuples (objects whose on-screen
+    area fraction is < 0.3 are dropped). Box extraction consumes no extra
+    RNG draws, so (frames, boxes) for a given rng state are bit-identical
+    to the frames an older caller produced — existing dumped datasets can
+    recover their ground truth by replaying the generator.
+    """
     # background: 1/f noise + illumination gradient (static across the clip)
     luma = np.zeros((h, w), np.float32)
     for octave in range(6):
@@ -62,17 +72,28 @@ def motion_clip(rng: np.random.Generator, t: int, h: int, w: int):
     pan = rng.uniform(-1.5, 1.5, 2)  # global pan px/frame
 
     frames = []
+    boxes = []
     for ti in range(t):
         img = bg.copy()
-        for o in objs:
+        frame_boxes = []
+        for oid, o in enumerate(objs):
             cy, cx = o["cy"] + o["vy"] * ti + pan[0] * ti, o["cx"] + o["vx"] * ti + pan[1] * ti
             if o["ellipse"]:
                 mask = ((yy - cy) / o["ry"]) ** 2 + ((xx - cx) / o["rx"]) ** 2 < 1.0
             else:
                 mask = (np.abs(yy - cy) < o["ry"]) & (np.abs(xx - cx) < o["rx"])
             img[mask] = (1 - o["alpha"]) * img[mask] + o["alpha"] * o["color"][None, :]
+            x0, y0 = cx - o["rx"], cy - o["ry"]
+            bw, bh = 2 * o["rx"], 2 * o["ry"]
+            vis_w = min(x0 + bw, w) - max(x0, 0.0)
+            vis_h = min(y0 + bh, h) - max(y0, 0.0)
+            if vis_w > 0 and vis_h > 0 and (vis_w * vis_h) / (bw * bh) >= 0.3:
+                frame_boxes.append((oid, x0, y0, bw, bh))
         img = img + rng.normal(0, 2.0, img.shape)
         frames.append(np.clip(img, 0, 255).astype(np.uint8))
+        boxes.append(frame_boxes)
+    if return_boxes:
+        return frames, boxes
     return frames
 
 

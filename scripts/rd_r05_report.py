@@ -47,11 +47,13 @@ def main() -> None:
     ap.add_argument("--temporal", default="RD_r04_temporal.json")
     ap.add_argument("--prior", default="RD_r04.json")
     ap.add_argument("--out", default="RD_r05.json")
-    ap.add_argument("--budget", default="200k",
+    ap.add_argument("--budget", default="150k",
                     help="training budget of the evaluated joints, quoted "
-                         "in the protocol note (the CPU fallback evals the "
-                         "150k checkpoints when no TPU window allows the "
-                         "200k extension)")
+                         "in the protocol note. Default 150k: the r4 chain "
+                         "skipped the 200k extension (could not fit the TPU "
+                         "window before the deadline; the window went to the "
+                         "MOT artifact instead), so the standing evals are "
+                         "of the 150k checkpoints")
     args = ap.parse_args()
 
     plain, charm = _load(args.plain), _load(args.charm)

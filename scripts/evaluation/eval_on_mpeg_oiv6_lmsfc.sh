@@ -14,6 +14,10 @@ TASK=${4:-detection}   # detection | segmentation
 read -r -a LMBDAS <<< "${LMBDAS_OVERRIDE:-0.0125 0.025 0.05 0.1}"
 CODEC_ARGS=${CODEC_ARGS:-}
 WITH_BYPASS=${WITH_BYPASS:-0}
+# annotation file resolved against DATA_ROOT; the committed dummy set uses
+# ann.json at the root (r4 chain stage 4 left the example default
+# annotations/instances.json in place -> 0-image dataset -> nan sweep)
+ANN_FILE=${ANN_FILE:-$([ -f "${DATA_ROOT}/ann.json" ] && echo ann.json || echo annotations/instances.json)}
 
 ARCH=faster_rcnn_R_50_FPN_3x
 EVAL=OIC-EVAL
@@ -28,6 +32,7 @@ if [ "$WITH_BYPASS" = "1" ]; then
     vision_model.arch="${ARCH}" \
     dataset.datacatalog=MPEGOIV6 \
     dataset.config.root="${DATA_ROOT}" \
+    dataset.config.annotation_file="${ANN_FILE}" \
     pipeline.type=image \
     evaluator.type="${EVAL}" \
     codec.type=bypass \
@@ -44,6 +49,7 @@ for i in "${!LMBDAS[@]}"; do
     vision_model.arch="${ARCH}" \
     dataset.datacatalog=MPEGOIV6 \
     dataset.config.root="${DATA_ROOT}" \
+    dataset.config.annotation_file="${ANN_FILE}" \
     pipeline.type=image \
     evaluator.type="${EVAL}" \
     codec.settings.qp="${q}" \

@@ -11,14 +11,15 @@ measures how much tracking quality (MOTA/IDF1) survives feature
 compression. Swapping in real TVD + pinned JDE weights is a pure data
 substitution.
 
-Two phases (the label pass should use the final, noise-distilled head —
-scripts/train_dummy_jde_head.py — so run --frames-only first, train the
-head on those frames, then label):
+Two phases (the label pass should use the final SUPERVISED head —
+scripts/train_jde_head_sup.py, trained on the generator's true boxes — so
+run --frames-only first, train the head, then label; pass the SAME
+--conf-thres the eval sweep will use so gt and eval see one detector):
 
   python scripts/make_dummy_tvd.py --out data/dummy_tvd --frames-only
-  python scripts/train_dummy_jde_head.py ...
+  python scripts/train_jde_head_sup.py ...
   python scripts/make_dummy_tvd.py --out data/dummy_tvd \
-      --head checkpoints/jde_head/head.npz
+      --head checkpoints/jde_head/head.npz --conf-thres 0.8
 """
 
 from __future__ import annotations
@@ -50,14 +51,14 @@ def write_seq(out: Path, name: str, frames, fps: int = 30) -> None:
     )
 
 
-def self_label(seq_dir: Path, head: str | None, hw) -> int:
+def self_label(seq_dir: Path, head: str | None, hw, conf_thres: float = 0.5) -> int:
     """Run the JDE tracker on the uncompressed frames; tracks -> gt.txt."""
     import cv2
 
     from lmsfc_tpu.datasets.image import letterbox
     from lmsfc_tpu.models.wrappers.jde import JDE1088x608
 
-    wrapper = JDE1088x608(splits=(36, 61, 74), weights=head)
+    wrapper = JDE1088x608(splits=(36, 61, 74), weights=head, conf_thres=conf_thres)
     wrapper.reset()
     rows = []
     files = sorted((seq_dir / "img1").glob("*.png"))
@@ -96,6 +97,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=20240817)
     ap.add_argument("--frames-only", action="store_true",
                     help="write frames + seqinfo, skip labeling")
+    ap.add_argument("--conf-thres", type=float, default=0.5,
+                help="detection threshold for the label pass (must match "
+                     "the eval sweep's vision_model conf_thres)")
     ap.add_argument("--head", default=None,
                     help="distilled head .npz for the labeling pass")
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
@@ -116,7 +120,7 @@ def main() -> None:
             write_seq(out, name, frames)
             print(f"{name}: wrote {len(frames)} frames at {h}x{w}", flush=True)
         if not args.frames_only:
-            n = self_label(out / name, args.head, (h, w))
+            n = self_label(out / name, args.head, (h, w), args.conf_thres)
             print(f"{name}: {n} gt rows", flush=True)
 
 

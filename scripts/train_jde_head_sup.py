@@ -131,6 +131,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--feat-cache", default="data/dummy_tvd/_feat_cache.npz")
+    ap.add_argument("--init", default=None,
+                    help="head .npz to resume from (extend a finished run)")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -198,6 +200,14 @@ def main() -> None:
         )
 
     head = params["head"]
+    if args.init and Path(args.init).exists():
+        from flax.traverse_util import unflatten_dict
+
+        loaded = np.load(args.init)
+        head = unflatten_dict(
+            {tuple(k.split("/")): jnp.asarray(loaded[k]) for k in loaded.files}
+        )
+        print(f"resumed head from {args.init}", flush=True)
     key0 = jax.random.key(args.seed)
     idcls = {
         "w": 0.01 * jax.random.normal(key0, (512, n_ids), jnp.float32),

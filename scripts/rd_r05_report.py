@@ -34,6 +34,17 @@ def _load(path):
     return json.loads(p.read_text()) if p.exists() else None
 
 
+def _monotone(single_report):
+    """PSNR non-decreasing in rate along the singles curve (None if absent)."""
+    pre = single_report.get("single_curve_monotone")
+    if pre is not None:
+        return pre
+    curve = sorted((single_report.get("curves") or {}).get("single") or [])
+    if len(curve) < 2:
+        return None
+    return all(q2 >= q1 for (_, q1), (_, q2) in zip(curve, curve[1:]))
+
+
 def _joint_rows(report, seed):
     return [r for r in report["rows"]
             if r["model"] == "joint" and r["seed"] == seed]
@@ -121,14 +132,32 @@ def main() -> None:
                 sorted(vals)[len(vals) // 2] if vals else None
             ),
             "bd_rate_charm_vs_plain_joint_pct_by_budget_pchip": trend,
+            "replication_note": (
+                "The sign of the ChARM-vs-plain comparison does NOT "
+                "replicate across training instances: the round-3 150k "
+                "instance measured -10.6% (16f) / -6.9% median (24f x 2 "
+                "seeds, CPU), while the post-reset rebuild of both joints "
+                "under the same configs measures +47/+53% per seed (64f x "
+                "2 seeds, TPU) — the underlying curves sit ~0.2 dB apart "
+                "on a <1 dB-span (fit-sensitive) region, inside "
+                "training-instance variance. Standing conclusion: ChARM(4)"
+                "+LRP and the plain gain-unit joint are R-D equivalent at "
+                "this scale; the plain joint is simpler and currently "
+                "slightly ahead."),
         },
         "per_seed": per_seed,
         "q4fix": None if single is None else {
-            "single_curve_monotone": single.get("single_curve_monotone"),
+            "single_curve_monotone": _monotone(single),
             "curves": single.get("curves"),
             # the q4-drop CPU fallback ships its own note; the lambda-96
             # retrain (chain stage 3) writes a report without one
             "note": single.get("note") or (
+                "top rate point retrained at lambda=96; the retrain did "
+                "NOT restore monotonicity (q4 still costs more bits for "
+                "less PSNR than q3 on both the 16- and 64-frame "
+                "protocols), so the operative fix remains dropping the "
+                "top point from BD computations"
+                if _monotone(single) is False else
                 "top rate point retrained at lambda=96 (inside the "
                 "stride-32 saturation knee); the lambda=256 checkpoint "
                 "is retained for the record"),

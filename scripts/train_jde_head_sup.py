@@ -133,6 +133,16 @@ def main() -> None:
     ap.add_argument("--feat-cache", default="data/dummy_tvd/_feat_cache.npz")
     ap.add_argument("--init", default=None,
                     help="head .npz to resume from (extend a finished run)")
+    ap.add_argument("--cache-only", action="store_true",
+                    help="build/refresh the clean feature cache and exit "
+                         "(recon generation needs the cache before training)")
+    ap.add_argument("--recons", default=None,
+                    help="codec-recon npz (scripts/make_jde_codec_recons.py): "
+                         "each step trains on one condition drawn from "
+                         "{clean, q1..qN}, so the detector's decision margins "
+                         "track the codec ladder (the r4 MOT diagnosis: every "
+                         "rate point's residual error exceeded the clean-"
+                         "trained head's margins, flattening MOTA-vs-rate)")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -183,7 +193,24 @@ def main() -> None:
         np_feats = {k: np.stack(v) for k, v in acc.items()}
         np.savez(cache, **np_feats)
         feats = {k: jnp.asarray(v) for k, v in np_feats.items()}
+    if args.cache_only:
+        print("cache ready; exiting (--cache-only)", flush=True)
+        return
     stds = {k: float(jnp.std(v)) for k, v in feats.items()}
+
+    # ---- condition stack: clean + codec reconstructions per rate ---------
+    cond_list = {k: [feats[k]] for k in feats}
+    n_cond = 1
+    if args.recons:
+        rz = np.load(args.recons)
+        qs = sorted({int(name.split("_")[0][1:]) for name in rz.files})
+        for q in qs:
+            for k in cond_list:
+                cond_list[k].append(jnp.asarray(rz[f"q{q}_{k}"], jnp.float32))
+        n_cond = 1 + len(qs)
+        print(f"codec-recon aug: conditions = clean + q{qs}", flush=True)
+    feats_stack = {k: jnp.stack(v) for k, v in cond_list.items()}
+    del cond_list
 
     targets = {
         s: {k: jnp.asarray(v) for k, v in t.items()}
@@ -220,12 +247,16 @@ def main() -> None:
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
     opt_state = tx.init(train_params)
 
-    def loss_fn(tp, idx, key, noise):
+    def loss_fn(tp, idx, key, noise, cond):
         ks = jax.random.split(key, 3)
+        # codec conditions carry structured coding error already; keep only
+        # a small jitter there so the aug doesn't wash out the codec's
+        # actual error signature
+        nscale = jnp.where(cond == 0, 1.0, 0.25)
         f = {}
         for i, k in enumerate(("l36", "l61", "l74")):
-            sub = jnp.take(feats[k], idx, axis=0)
-            f[k] = sub + noise * stds[k] * jax.random.normal(ks[i], sub.shape)
+            sub = jnp.take(feats_stack[k][cond], idx, axis=0)
+            f[k] = sub + nscale * noise * stds[k] * jax.random.normal(ks[i], sub.shape)
         out = head_fwd(tp["head"], f["l36"], f["l61"], f["l74"])
         conf_l = box_l = emb_l = 0.0
         npos_dbg = 0.0
@@ -253,9 +284,9 @@ def main() -> None:
         return total, (conf_l, box_l, emb_l)
 
     @jax.jit
-    def step_fn(tp, opt_state, idx, key, noise):
+    def step_fn(tp, opt_state, idx, key, noise, cond):
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            tp, idx, key, noise
+            tp, idx, key, noise, cond
         )
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(tp, updates), opt_state, total, aux
@@ -291,9 +322,10 @@ def main() -> None:
             rng.choice(n_frames, size=args.frames_per_step, replace=False)
         )
         noise = float(rng.uniform(0, args.max_noise))
+        cond = jnp.asarray(rng.integers(0, n_cond), jnp.int32)
         key, sk = jax.random.split(key)
         train_params, opt_state, total, aux = step_fn(
-            train_params, opt_state, idx, sk, noise
+            train_params, opt_state, idx, sk, noise, cond
         )
         if step % 50 == 0 or step == args.steps - 1:
             c, b, e = [float(v) for v in aux]

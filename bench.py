@@ -387,7 +387,8 @@ def emit_partial(error: str) -> None:
         "vs_baseline": None, "error": error,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    for snap in ("BENCH_inround_r4.json", "BENCH_r02.json"):
+    for snap in ("BENCH_inround_r5.json", "BENCH_inround_r4.json",
+                 "BENCH_r02.json"):
         try:
             with open(os.path.join(here, snap)) as f:
                 d = json.load(f)

@@ -61,6 +61,10 @@ class JDE1088x608(BaseWrapper):
         self._total_props: Dict = {}  # shapes -> decoded proposal count
         x = jnp.zeros((1, 64, 96, 3), jnp.float32)
         self._params = self.net.init(jax.random.key(0), x)["params"]
+        if weights and not Path(weights).exists():
+            # see FasterRCNNFPN._init_params: silent random fallback once
+            # cost a round's accuracy artifact
+            raise FileNotFoundError(f"JDE weights not found: {weights}")
         if weights and Path(weights).exists():
             from ...utils.tree import device_pin
 

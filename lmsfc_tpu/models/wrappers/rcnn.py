@@ -124,6 +124,11 @@ class _RCNNWrapper(BaseWrapper):
     # ----------------------------------------------------------- parameters
     def _init_params(self):
         wp = self._weights_path
+        if wp and not Path(wp).exists():
+            # never fall back to random weights silently: a missing
+            # checkpoint once turned a whole accuracy sweep into noise
+            # before this raised (round-5 diag, scripts/diag_oiv6.py)
+            raise FileNotFoundError(f"vision-model weights not found: {wp}")
         if wp and Path(wp).exists() and not str(wp).endswith(".npz"):
             from ...utils.tree import device_pin
             from .torch_weights import load_detectron2_weights

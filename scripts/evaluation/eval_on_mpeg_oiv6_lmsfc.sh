@@ -6,6 +6,9 @@
 #   LMBDAS_OVERRIDE="0.5 4.0 32.0 256.0"  lambda grid (checkpoint dir names)
 #   CODEC_ARGS="codec.settings.latent_stride_div=1"  extra codec settings
 #   WITH_BYPASS=1   also run the uncompressed (bypass) upper bound
+#   JOINT_CKPT=checkpoints/x/joint  one gain-unit joint for all qps
+#       (codec.settings.num_rates=4 + shared checkpoint_dir, qp=1..4;
+#       LMBDAS_OVERRIDE then only sets the number of rate legs)
 set -euo pipefail
 DATA_ROOT=${1:-./data/mpeg-oiv6}
 OUT_ROOT=${2:-./runs/oiv6_lmsfc}
@@ -44,6 +47,11 @@ fi
 
 for i in "${!LMBDAS[@]}"; do
   q=$((i + 1))
+  if [ -n "${JOINT_CKPT:-}" ]; then
+    CKPT_SETTINGS="codec.settings.checkpoint_dir=${JOINT_CKPT} codec.settings.num_rates=${#LMBDAS[@]}"
+  else
+    CKPT_SETTINGS="codec.settings.checkpoint_dir=${CKPT_ROOT}/q${q}_lmbda${LMBDAS[$i]}"
+  fi
   python -m lmsfc_tpu.run.eval_split_inference \
     --config cfgs/eval_split_inference_example.yaml \
     vision_model.arch="${ARCH}" \
@@ -53,7 +61,7 @@ for i in "${!LMBDAS[@]}"; do
     pipeline.type=image \
     evaluator.type="${EVAL}" \
     codec.settings.qp="${q}" \
-    codec.settings.checkpoint_dir="${CKPT_ROOT}/q${q}_lmbda${LMBDAS[$i]}" \
+    ${CKPT_SETTINGS} \
     ${CODEC_ARGS} \
     pipeline.output_dir="${OUT_ROOT}/q${q}" \
     pipeline.codec_output_dir="${OUT_ROOT}/q${q}/codec" \

@@ -6,12 +6,15 @@ is proven (bypass MOTA 100.0 on both sequences) but MOTA is flat across the
 residual error already exceeds the supervised detector's decision margins.
 This script produces the ingredient for the prescribed fix — train the head
 on codec-compressed features so its margins track the ladder (the reference
-evaluates exactly this task-aware robustness regime when its trained NN2
-consumes FCM-coded features, ref eval_split_inference.py:232-271).
+evaluates exactly this task-aware robustness regime: its NN2 consumes the
+decoded FCM features through the split-inference decode path, ref
+compressai_vision/pipelines/split_inference/video_split_inference.py
+decompress -> features_to_output flow).
 
 Runs the REAL registered codec (bitstreams + rANS), not a straight-through
-surrogate, so the training-time feature distribution is byte-identical to
-what the MOT sweep's decode leg feeds the head.
+surrogate: the head trains on the same real-bitstream codec path the MOT
+sweep's decode leg feeds it (recons stored f16; the eval decodes f32 — a
+small storage quantization, not byte identity).
 
 Usage:
   JAX_PLATFORMS=cpu python scripts/make_jde_codec_recons.py \
@@ -31,6 +34,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 KEYS = ("l36", "l61", "l74")
 
@@ -52,7 +56,6 @@ def main() -> None:
     if args.frames:
         data = {k: v[: args.frames] for k, v in data.items()}
     n = data[KEYS[0]].shape[0]
-    n_pixels = 320 * 576  # dummy-TVD frame geometry (make_dummy_tvd.py)
 
     out = {}
     stats = {}
@@ -88,6 +91,10 @@ def main() -> None:
             flush=True,
         )
 
+    from make_oiv6_codec_recons import ckpt_fingerprint
+
+    out["ckpt_fingerprint"] = np.frombuffer(
+        ckpt_fingerprint(args.ckpt).encode(), dtype=np.uint8)
     np.savez(args.out, **out)
     print(f"wrote {args.out} ({Path(args.out).stat().st_size / 1e6:.1f} MB)")
 

@@ -5,8 +5,9 @@
 # point's residual error exceeded the CLEAN-trained head's decision margins.
 # Fix #2 from that diagnosis: fine-tune the head ON codec-compressed features
 # so its margins track the ladder (the reference's NN2 likewise consumes
-# FCM-coded features at eval, ref eval_split_inference.py:232-271 — a
-# deployed split-inference head sees coded features, never clean ones).
+# decoded FCM features through the split-inference decode path, ref
+# compressai_vision/pipelines/split_inference/video_split_inference.py —
+# a deployed split-inference head sees coded features, never clean ones).
 #
 # Like every dummy-set artifact in this repo the head is overfit-by-design
 # on the committed 2-sequence set (the VERDICT-sanctioned regime for an
@@ -19,7 +20,7 @@
 #   3. clean feature cache -> real-bitstream codec recons at q1..q4
 #   4. head fine-tune across {clean, q1..q4} conditions
 #   5. relabel gt with the robust head (clean features, conf 0.9)
-#   6. bypass + 4-rate sweep -> runs/mot_r6/cttc.csv
+#   6. bypass + 4-rate sweep -> runs/mot_r5_robust/cttc.csv
 #
 # Usage: [DEVICE=cpu] [STEPS=300] [DEADLINE_EPOCH=0] scripts/r5_mot_robust.sh
 set -euo pipefail
@@ -30,7 +31,7 @@ DEVICE=${DEVICE:-cpu}
 STEPS=${STEPS:-300}
 CONF=${CONF:-0.9}
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
-OUT_ROOT=runs/mot_r6
+OUT_ROOT=runs/mot_r5_robust   # runs/mot_r6 belongs to scripts/r6_mot_fix.sh
 HEAD=checkpoints/jde_head/head_robust.npz
 
 scripts/r6_prereqs.sh
@@ -44,7 +45,10 @@ if [ ! -f data/dummy_tvd/_feat_cache.npz ]; then
   stdbuf -oL python scripts/train_jde_head_sup.py --cache-only --device cpu
 fi
 
-if [ ! -f data/dummy_tvd/_feat_recons.npz ]; then
+# freshness tied to the codec checkpoint content (ADVICE r4: bare existence
+# gating let stale recons survive a codec retrain)
+if ! python scripts/check_recons_fresh.py \
+    data/dummy_tvd/_feat_recons.npz checkpoints/jde_codec_100k/joint; then
   stdbuf -oL python scripts/make_jde_codec_recons.py \
     2>&1 | tee runs/jde_recons.log
 fi
@@ -69,25 +73,29 @@ for seq in data/dummy_tvd/DTVD-*/; do
   wc -l "${seq}gt/gt.txt"
 done
 
-COMMON="vision_model.arch=jde_1088x608
-vision_model.jde_1088x608.splits=[36,61,74]
-vision_model.jde_1088x608.weights=${HEAD}
-vision_model.jde_1088x608.conf_thres=${CONF}
-dataset.type=TrackingDataset
-dataset.datacatalog=MPEGTVDTRACKING
-dataset.settings.width=576 dataset.settings.height=320
-dataset.config.annotation_file=gt/gt.txt
-dataset.config.seqinfo=seqinfo.ini
-pipeline.type=video
-evaluator.type=MOT-EVAL evaluator.criteria=mota
-misc.overwrite_results=true"
+# array + quoted expansion: the unquoted scalar made splits=[...] a live
+# glob (ADVICE r4)
+COMMON=(
+  vision_model.arch=jde_1088x608
+  'vision_model.jde_1088x608.splits=[36,61,74]'
+  "vision_model.jde_1088x608.weights=${HEAD}"
+  "vision_model.jde_1088x608.conf_thres=${CONF}"
+  dataset.type=TrackingDataset
+  dataset.datacatalog=MPEGTVDTRACKING
+  dataset.settings.width=576 dataset.settings.height=320
+  dataset.config.annotation_file=gt/gt.txt
+  dataset.config.seqinfo=seqinfo.ini
+  pipeline.type=video
+  evaluator.type=MOT-EVAL evaluator.criteria=mota
+  misc.overwrite_results=true
+)
 
 rm -rf "$OUT_ROOT"
 for seq in data/dummy_tvd/DTVD-*/; do
   name=$(basename "${seq}")
   python -m lmsfc_tpu.run.eval_split_inference \
     --config cfgs/eval_split_inference_example.yaml \
-    ${COMMON} \
+    "${COMMON[@]}" \
     dataset.config.root="${seq%/}" \
     codec.type=bypass \
     pipeline.dump_features_dir="${OUT_ROOT}/${name}/_featcache" \
@@ -104,7 +112,7 @@ for seq in data/dummy_tvd/DTVD-*/; do
     fi
     python -m lmsfc_tpu.run.eval_split_inference \
       --config cfgs/eval_split_inference_example.yaml \
-      ${COMMON} \
+      "${COMMON[@]}" \
       dataset.config.root="${seq%/}" \
       codec.settings.eval_encode=bitrate \
       codec.settings.out_channels='[256,512,1024]' \
@@ -120,7 +128,11 @@ for seq in data/dummy_tvd/DTVD-*/; do
   done
 done
 
-python -m lmsfc_tpu.tools.aggregate cttc "${OUT_ROOT}/cttc.csv" \
-  "${OUT_ROOT}"/*/q*/summary.csv "${OUT_ROOT}"/*/bypass/summary.csv
+# nullglob + count guard: a deadline-truncated sweep still aggregates the
+# bypass rows instead of dying on an unmatched glob (ADVICE r4)
+shopt -s nullglob
+summaries=("${OUT_ROOT}"/*/q*/summary.csv "${OUT_ROOT}"/*/bypass/summary.csv)
+[ ${#summaries[@]} -gt 0 ] || { echo "no summaries produced"; exit 1; }
+python -m lmsfc_tpu.tools.aggregate cttc "${OUT_ROOT}/cttc.csv" "${summaries[@]}"
 cat "${OUT_ROOT}/cttc.csv"
 echo "=== MOT ROBUST DONE ==="

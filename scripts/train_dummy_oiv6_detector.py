@@ -25,10 +25,19 @@ Reference parity: the reference trains nothing here — it downloads pinned
 Detectron2 pickles (ref scripts/install.sh:103-121); this is the
 environment-honest substitute, documented in the artifact.
 
+Task-aware robustness (--recons, VERDICT r4 next #1): with an npz of
+codec-reconstructed pyramids (scripts/make_oiv6_codec_recons.py), each step
+samples its features from {clean, q1..q4 recon} uniformly, so the heads
+learn margins that track the codec ladder's STRUCTURED error — the same
+fix as the MOT head (scripts/train_jde_head_sup.py --recons); diagnosis in
+scripts/diag_oiv6.py showed codec error at equal rms costs ~2x more
+recovery than gaussian noise, so noise augmentation alone cannot cover it.
+
 Usage:
   python scripts/train_dummy_oiv6_detector.py \
       --data data/dummy_oiv6 --out checkpoints/oiv6_detector/part2.npz \
-      [--steps 800] [--images-per-step 2] [--device cpu|tpu]
+      [--steps 800] [--images-per-step 2] [--device cpu|tpu] \
+      [--init part2.npz] [--recons data/dummy_oiv6/_feat_recons.npz]
 """
 
 from __future__ import annotations
@@ -157,6 +166,12 @@ def main() -> None:
                          "per-level feature std")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--init", default=None,
+                    help="part2 .npz to resume from (fine-tune)")
+    ap.add_argument("--recons", default=None,
+                    help="codec-recon npz (make_oiv6_codec_recons.py): adds "
+                         "q1..q4 reconstructed pyramids as training "
+                         "conditions alongside clean")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -186,7 +201,7 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
 
     feats_levels = [[] for _ in range(4)]  # NHWC per level, stacked later
-    all_roi_feats, all_roi_cls, all_roi_deltas, all_roi_pos = [], [], [], []
+    all_roi_boxes, all_roi_cls, all_roi_deltas, all_roi_pos = [], [], [], []
     rpn_labels_list, rpn_deltas_list = [], []
     anchors_per_level = None
     hw = None
@@ -226,15 +241,11 @@ def main() -> None:
         rpn_labels_list.append(lab)
         rpn_deltas_list.append(dlt)
 
-        # --- ROI candidates + their (frozen-feature) ROIAlign crops ---
+        # --- ROI candidates (crops computed per condition below) ---
         boxes, classes, deltas, pos_mask = roi_candidates(
             gt, gt_cls, hw, rng, args.rois_per_image, args.rois_per_image
         )
-        bx = jnp.asarray(boxes)
-        crops = roi_align_pyramid(
-            [p for p in pyr_nhwc], bx, assign_levels(bx), output_size=7
-        )
-        all_roi_feats.append(np.asarray(crops, np.float32))
+        all_roi_boxes.append(boxes)
         all_roi_cls.append(classes)
         all_roi_deltas.append(deltas)
         all_roi_pos.append(pos_mask)
@@ -242,19 +253,56 @@ def main() -> None:
               f"{int(pos_mask.sum())} roi positives", flush=True)
 
     n_img = len(ann["images"])
-    feats = [jnp.stack(f) for f in feats_levels]  # [N,H,W,256] x4
-    feat_stds = [float(jnp.std(f)) for f in feats]
+    clean_np = [np.stack([np.asarray(f) for f in lv]) for lv in feats_levels]
+
+    # -------- training conditions: clean (+ codec recons at each rate) --------
+    cond_names = ["clean"]
+    conds = [[lv] for lv in clean_np]  # per level: list of [N,H,W,C]
+    if args.recons:
+        rz = np.load(args.recons)
+        qs = sorted({int(k[1]) for k in rz.files if k.startswith("q")})
+        for q in qs:
+            for lvl, name in enumerate(("p2", "p3", "p4", "p5")):
+                conds[lvl].append(rz[f"q{q}_{name}"].astype(np.float32))
+            cond_names.append(f"q{q}")
+    n_cond = len(cond_names)
+    feats = [jnp.asarray(np.stack(c)) for c in conds]  # [K,N,H,W,256] x4
+    feat_stds = [float(np.std(lv)) for lv in clean_np]
+
     rpn_labels = jnp.asarray(np.stack(rpn_labels_list))  # [N,Na]
     rpn_deltas = jnp.asarray(np.stack(rpn_deltas_list))  # [N,Na,4]
-    roi_feats = jnp.asarray(np.concatenate(all_roi_feats))  # [R,7,7,256]
+
+    # ROI crops per condition (same boxes; ROIAlign over each condition's
+    # pyramid so the box head sees the coded features too)
+    roi_feats_conds = []
+    for k in range(n_cond):
+        per_img = []
+        for i in range(n_img):
+            bx = jnp.asarray(all_roi_boxes[i])
+            pyr = [jnp.asarray(conds[lvl][k][i])[None] for lvl in range(4)]
+            crops = roi_align_pyramid(
+                pyr, bx, assign_levels(bx), output_size=7
+            )
+            per_img.append(np.asarray(crops, np.float32))
+        roi_feats_conds.append(np.concatenate(per_img))
+    roi_feats = jnp.asarray(np.stack(roi_feats_conds))  # [K,R,7,7,256]
     roi_cls = jnp.asarray(np.concatenate(all_roi_cls))
     roi_deltas = jnp.asarray(np.concatenate(all_roi_deltas))
     roi_pos = jnp.asarray(np.concatenate(all_roi_pos))
     level_sizes = [a.shape[0] for a in anchors_per_level]
-    print(f"features: {[tuple(f.shape) for f in feats]}, "
-          f"anchors/level {level_sizes}, rois {roi_feats.shape[0]}", flush=True)
+    print(f"conditions: {cond_names}, "
+          f"features: {[tuple(f.shape) for f in feats]}, "
+          f"anchors/level {level_sizes}, rois {roi_feats.shape[1]}", flush=True)
 
     params = wrapper._params_part2
+    if args.init:
+        from flax.traverse_util import unflatten_dict
+
+        loaded = np.load(args.init)
+        params = unflatten_dict(
+            {tuple(k.split("/")): jnp.asarray(loaded[k]) for k in loaded.files}
+        )
+        print(f"resumed part2 params from {args.init}", flush=True)
     # smooth-L1 delta losses start large on random heads: clip + warmup keep
     # the first steps from blowing up the shared RPN conv
     sched = optax.warmup_cosine_decay_schedule(
@@ -270,9 +318,9 @@ def main() -> None:
         ax = jnp.abs(x)
         return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
-    def loss_fn(params, img_idx, roi_idx, key, noise):
+    def loss_fn(params, cond_idx, img_idx, roi_idx, key, noise):
         k1, k2, *lks = jax.random.split(key, 2 + len(feats))
-        sub = [jnp.take(f, img_idx, axis=0) for f in feats]
+        sub = [jnp.take(f[cond_idx], img_idx, axis=0) for f in feats]
         sub = [
             f + noise * s * jax.random.normal(k, f.shape)
             for f, s, k in zip(sub, feat_stds, lks)
@@ -293,7 +341,7 @@ def main() -> None:
             smooth_l1(rg - tgt).sum(-1) * pos
         ) / jnp.maximum(jnp.sum(pos), 1)
 
-        rf = jnp.take(roi_feats, roi_idx, axis=0)
+        rf = jnp.take(roi_feats[cond_idx], roi_idx, axis=0)
         rf = rf + noise * feat_stds[0] * jax.random.normal(k2, rf.shape)
         scores, deltas = box_head.apply({"params": params["box_head"]}, rf)
         cls = jnp.take(roi_cls, roi_idx, axis=0)
@@ -312,9 +360,9 @@ def main() -> None:
         return total, (obj_loss, box_loss, cls_loss, reg_loss)
 
     @jax.jit
-    def train_step(params, opt_state, img_idx, roi_idx, key, noise):
+    def train_step(params, opt_state, cond_idx, img_idx, roi_idx, key, noise):
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, img_idx, roi_idx, key, noise
+            params, cond_idx, img_idx, roi_idx, key, noise
         )
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
@@ -323,16 +371,17 @@ def main() -> None:
     key = jax.random.key(args.seed)
     t0 = time.time()
     for step in range(args.steps):
+        cond_idx = int(rng.integers(n_cond))
         img_idx = jnp.asarray(
             rng.choice(n_img, size=args.images_per_step, replace=False)
         )
         roi_idx = jnp.asarray(
-            rng.choice(int(roi_feats.shape[0]), size=args.roi_batch, replace=False)
+            rng.choice(int(roi_feats.shape[1]), size=args.roi_batch, replace=False)
         )
         noise = float(rng.uniform(0, args.max_noise))
         key, sk = jax.random.split(key)
         params, opt_state, total, aux = train_step(
-            params, opt_state, img_idx, roi_idx, sk, noise
+            params, opt_state, cond_idx, img_idx, roi_idx, sk, noise
         )
         if step % 50 == 0 or step == args.steps - 1:
             o, b, c, r = [float(v) for v in aux]

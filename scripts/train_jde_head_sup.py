@@ -203,7 +203,8 @@ def main() -> None:
     n_cond = 1
     if args.recons:
         rz = np.load(args.recons)
-        qs = sorted({int(name.split("_")[0][1:]) for name in rz.files})
+        qs = sorted({int(name.split("_")[0][1:]) for name in rz.files
+                     if name.startswith("q")})
         for q in qs:
             for k in cond_list:
                 cond_list[k].append(jnp.asarray(rz[f"q{q}_{k}"], jnp.float32))

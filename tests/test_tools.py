@@ -71,11 +71,40 @@ class TestAggregate:
             w.writeheader()
             w.writerow({"codec": "lmsfc", "qp": 1, "bpp": 0.12, "accuracy": 71.2, "time_encoder": 3.2})
         out = tmp_path / "cttc.csv"
-        cttc_csv([run / "summary.csv"], out)
+        assert cttc_csv([run / "summary.csv"], out) == []  # no defects
         with open(out) as f:
             rows = list(csv.DictReader(f))
         assert rows[0]["Sequence"] == "SeqA"
         assert rows[0]["BPP"] == "0.12"
+
+    def test_cttc_nan_rows_fail_the_aggregate(self, tmp_path):
+        """VERDICT r4 weak #1: an all-nan sweep shipped as the round's
+        headline artifact and nothing failed. The aggregate CLI must exit
+        non-zero on nan/empty accuracy or bpp (and pass with --allow-nan)."""
+        import subprocess
+        import sys
+
+        run = tmp_path / "SeqA"
+        run.mkdir()
+        with open(run / "summary.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["codec", "qp", "bpp", "accuracy"])
+            w.writeheader()
+            w.writerow({"codec": "lmsfc", "qp": 1, "bpp": "nan", "accuracy": "nan"})
+        out = tmp_path / "cttc.csv"
+        r = subprocess.run(
+            [sys.executable, "-m", "lmsfc_tpu.tools.aggregate", "cttc",
+             str(out), str(run / "summary.csv")],
+            capture_output=True, text=True,
+        )
+        assert r.returncode != 0
+        assert "nan" in (r.stderr + r.stdout).lower()
+        assert out.exists()  # partial csv still written for inspection
+        r2 = subprocess.run(
+            [sys.executable, "-m", "lmsfc_tpu.tools.aggregate", "cttc",
+             "--allow-nan", str(out), str(run / "summary.csv")],
+            capture_output=True, text=True,
+        )
+        assert r2.returncode == 0, r2.stderr
 
 
 class TestCLI:

@@ -51,4 +51,24 @@ def _enable_compilation_cache() -> None:
         )
 
 
+def _honor_jax_platforms_env() -> None:
+    """Make the JAX_PLATFORMS env var authoritative even under the axon
+    sitecustomize (which force-registers the remote-TPU backend and
+    overrides the env var): a CPU-pinned helper script that silently lands
+    on a wedged relay HANGS instead of running. Production TPU runs leave
+    JAX_PLATFORMS unset and are unaffected."""
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if not platforms:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", platforms)
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_honor_jax_platforms_env()

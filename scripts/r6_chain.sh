@@ -60,7 +60,7 @@ bench_snapshot() {
 }
 
 oiv6_fix() {
-  DEVICE=tpu scripts/r6_oiv6_fix.sh
+  DEVICE=tpu scripts/r6_oiv6_fix.sh || return 1
   milestone_commit "OIV6 accuracy-vs-rate artifact: knee-ladder + task-aware NN2" \
     runs/oiv6_r6 artifacts/params/oiv6_part2_v2.npz \
     artifacts/params/oiv6_part2_v2_robust.npz \
@@ -70,7 +70,7 @@ oiv6_fix() {
 }
 
 mot_fix() {
-  DEVICE=tpu scripts/r6_mot_fix.sh
+  DEVICE=tpu scripts/r6_mot_fix.sh || return 1
   milestone_commit "MOT artifact: wide ladder + task-aware head (MOTA vs kbps)" \
     runs/mot_r6 artifacts/params/jde_codec_joint_wide.npz \
     artifacts/params/jde_head_wide_robust.npz \
@@ -90,8 +90,8 @@ temporal_fix() {
 
 export -f stage milestone_commit bench_snapshot oiv6_fix mot_fix temporal_fix
 
-STAGE_TIMEOUT=2400 stage 1 bench bench_snapshot
-STAGE_TIMEOUT=10800 stage 2 oiv6-fix oiv6_fix
-STAGE_TIMEOUT=10800 stage 3 mot-fix mot_fix
+STAGE_TIMEOUT=2400 stage 1 bench bench_snapshot || exit 1
+STAGE_TIMEOUT=10800 stage 2 oiv6-fix oiv6_fix || exit 1
+STAGE_TIMEOUT=10800 stage 3 mot-fix mot_fix || exit 1
 STAGE_TIMEOUT=14400 stage 4 temporal temporal_fix
 echo "=== R6 CHAIN COMPLETE $(date) ==="

@@ -45,7 +45,11 @@ from ..utils.readwrite import (
 )
 
 _MAGIC = b"LMFT"
-_VERSION = 3  # v3: rANS payloads are 4-way interleaved (native/rans.cpp);
+_VERSION = 4  # v4: per-frame inter/intra MODE DECISION (header bitmask) —
+# the encoder codes each non-keyframe with whichever entropy params cost
+# fewer bits (conditional vs hyper-only), so a sequence the predictor can't
+# help costs at most 1 bit/frame over the intra codec instead of losing;
+# v3 made rANS payloads 4-way interleaved (native/rans.cpp);
 # v2 added the GOP-batched predictor program (see module docstring)
 _RANS_STREAMS = 4
 
@@ -185,23 +189,53 @@ class LMSFCTemporalCodec(MeshJitCache):
 
         return self._cached_jit(("hyp", y_hw), fn, arity=2)
 
-    def _pred_idx_fn(self, y_shape):
-        """fn(params, y_prev, sh_t, mh_t, is_intra) -> (y_idx u8, means).
+    def _pred_sel_fn(self, y_shape):
+        """fn(params, y_prev, sh_t, mh_t, use_cond) -> (y_idx u8, means).
 
-        The per-offset conditional coding state over the GOP batch.
-        Scale->index mapping runs inside this jit (same program on both
-        sides => identical ints). is_intra is a traced scalar so one
-        program serves every offset."""
+        The per-offset coding state over the GOP batch. `use_cond` is a
+        per-GOP-row bool [G,1,1,1]: True = conditional (predictor-refined)
+        entropy params, False = hyper-only (intra mode). BOTH branches are
+        computed and selected with `where`, and this one program is shared
+        verbatim by encoder and decoder (the flag travels in the bitstream
+        header), so the rANS coding state stays bit-identical across the
+        two sides whatever modes the encoder picked."""
 
-        def fn(params, y_prev, sh, mh, is_intra):
+        def fn(params, y_prev, sh, mh, use_cond):
             scales, means = self.model.apply(
-                {"params": params}, y_prev, sh, mh, is_intra,
+                {"params": params}, y_prev, sh, mh,
+                jnp.logical_not(use_cond),
                 method=LMSFCv2Temporal.predict_params,
             )
             return GaussianConditional.build_indexes_device(scales), means
 
-        # is_intra is a replicated scalar, everything else GOP-sharded
-        return self._cached_jit(("pred", y_shape), fn, arity=5, layout="rdddr")
+        return self._cached_jit(("pred", y_shape), fn, arity=5, layout="rdddd")
+
+    def _mode_fn(self, y_shape):
+        """Encoder-only rate probe: fn(params, y_prev, sh_t, mh_t, y_t) ->
+        use_cond bool [G,1,1,1]. Estimates each GOP row's y bits under the
+        conditional and the hyper-only gaussians (gaussian entropy of the
+        quantized plane — a tight proxy for the rANS length) and returns
+        True where the predictor actually helps. A decision, not coding
+        state: it never has to match any decoder program bit-for-bit."""
+
+        def fn(params, y_prev, sh, mh, y_t):
+            def est_bits(is_intra):
+                scales, means = self.model.apply(
+                    {"params": params}, y_prev, sh, mh, jnp.asarray(is_intra),
+                    method=LMSFCv2Temporal.predict_params,
+                )
+                y_hat = jnp.round(y_t - means) + means
+                lk = jnp.maximum(
+                    self._gaussian._likelihood(y_hat, scales, means), 1e-9
+                )
+                return -jnp.sum(
+                    jnp.log2(lk).reshape(y_t.shape[0], -1), axis=1
+                )
+
+            use_cond = est_bits(False) < est_bits(True)
+            return use_cond.reshape(-1, 1, 1, 1)
+
+        return self._cached_jit(("mode", y_shape), fn, arity=5, layout="rdddd")
 
     def _sym_fn(self):
         """Encoder-only: fn(y_t, means) -> (y_sym8 i8, n_over i32[gops],
@@ -279,23 +313,31 @@ class LMSFCTemporalCodec(MeshJitCache):
         hyper = self._hyper_fn((y_shape[1], y_shape[2]))
         sh, mh = hyper(self.params, z_sym_dev)  # stay device-resident
 
-        pred_idx = self._pred_idx_fn((n_gops,) + tuple(y_shape[1:]))
+        gop_shape = (n_gops,) + tuple(y_shape[1:])
+        pred_sel = self._pred_sel_fn(gop_shape)
+        mode = self._mode_fn(gop_shape)
         sym = self._sym_fn()
         dequant = self._dequant_fn()
 
         # GOP-batched closed loop: offset t of every GOP in one program call
         # (x[t::ip] gathers the GOP batch); the whole chain dispatches with
         # no host sync and only intra_period sequential steps
-        handles = []  # per offset: (y_idx u8 (G,...), y_sym i16 (G,...))
-        y_prev = self._dp_put(jnp.zeros((n_gops,) + tuple(y_shape[1:]), jnp.float32))
+        handles = []  # per offset: (y_idx u8 (G,...), ..., use_cond bool)
+        y_prev = self._dp_put(jnp.zeros(gop_shape, jnp.float32))
+        all_intra = self._dp_put(jnp.zeros((n_gops, 1, 1, 1), bool))
         for t in range(ip):
-            yi_t, means_t = pred_idx(
-                self.params, y_prev,
-                self._dp_put(sh[t::ip]), self._dp_put(mh[t::ip]), t == 0,
+            sh_t, mh_t = self._dp_put(sh[t::ip]), self._dp_put(mh[t::ip])
+            y_off = self._dp_put(y[t::ip])
+            # per-frame mode decision: keyframes (offset 0) are always
+            # intra; other offsets code with whichever params cost less
+            flags_t = (
+                all_intra if t == 0
+                else mode(self.params, y_prev, sh_t, mh_t, y_off)
             )
-            ys8_t, over_t, ys16_t = sym(self._dp_put(y[t::ip]), means_t)
+            yi_t, means_t = pred_sel(self.params, y_prev, sh_t, mh_t, flags_t)
+            ys8_t, over_t, ys16_t = sym(y_off, means_t)
             y_prev = dequant(ys16_t, means_t)  # closed loop on device (exact)
-            handles.append((yi_t, ys8_t, over_t, ys16_t))
+            handles.append((yi_t, ys8_t, over_t, ys16_t, flags_t))
 
         # one batched round trip for every integer plane (separate fetches
         # each pay full link latency — see codecs/learned.py); the y planes
@@ -306,11 +348,17 @@ class LMSFCTemporalCodec(MeshJitCache):
             + [h[0] for h in handles]
             + [h[1] for h in handles]
             + [h[2] for h in handles]
+            + [h[4] for h in handles]
         )
         z_sym = flat[0]
         yi_off = flat[1 : 1 + ip]
         ys_off = list(flat[1 + ip : 1 + 2 * ip])
-        over_off = flat[1 + 2 * ip :]
+        over_off = flat[1 + 2 * ip : 1 + 3 * ip]
+        cond_off = flat[1 + 3 * ip :]
+        # frame-order mode bitmask (pad frames stay 0/intra)
+        mode_flags = np.zeros(t_pad, np.uint8)
+        for off in range(ip):
+            mode_flags[off::ip] = cond_off[off].reshape(-1).astype(np.uint8)
         for off in range(ip):
             if over_off[off].any():
                 ys_off[off] = jax.device_get(handles[off][3])
@@ -335,6 +383,7 @@ class LMSFCTemporalCodec(MeshJitCache):
                 write_uints(fd, (c, h, w))
             write_uints(fd, (y_shape[1], y_shape[2], y_shape[3]))
             write_uints(fd, (z_shape[1], z_shape[2], z_shape[3]))
+            write_bytes(fd, np.packbits(mode_flags).tobytes())
             header = fd.tell()
 
             for t in range(n_frames):
@@ -369,8 +418,8 @@ class LMSFCTemporalCodec(MeshJitCache):
             if version != _VERSION:
                 raise ValueError(
                     f"stream version {version} unsupported (current {_VERSION}); "
-                    "v1 LMFT streams predate the GOP-batched predictor and "
-                    "must be re-encoded"
+                    "pre-v4 LMFT streams predate the per-frame mode bitmask "
+                    "and must be re-encoded"
                 )
             (n_frames,) = read_uints(fd, 1)
             names, level_shapes = [], []
@@ -380,6 +429,10 @@ class LMSFCTemporalCodec(MeshJitCache):
                 level_shapes.append(read_uints(fd, 3))
             y_h, y_w, y_c = read_uints(fd, 3)
             z_h, z_w, z_c = read_uints(fd, 3)
+            t_pad_hdr = -(-n_frames // int(intra_period)) * int(intra_period)
+            mode_flags = np.unpackbits(
+                np.frombuffer(read_bytes(fd, -(-t_pad_hdr // 8)), np.uint8)
+            )[:t_pad_hdr].astype(bool)
             streams = []
             for _ in range(n_frames):
                 (zl,) = read_uints(fd, 1)
@@ -406,7 +459,7 @@ class LMSFCTemporalCodec(MeshJitCache):
         hyper = self._hyper_fn((y_h, y_w))
         sh, mh = hyper(self.params, jnp.asarray(z_sym_all))
 
-        pred_idx = self._pred_idx_fn((n_gops, y_h, y_w, y_c))
+        pred_sel = self._pred_sel_fn((n_gops, y_h, y_w, y_c))
         dequant = self._dequant_fn()
         # GOP-batched chain: one predictor call per OFFSET (not per frame);
         # the per-offset host sync is inherent to conditional coding, but
@@ -416,9 +469,12 @@ class LMSFCTemporalCodec(MeshJitCache):
         y_hat_offsets = []
         y_prev = self._dp_put(jnp.zeros((n_gops, y_h, y_w, y_c), jnp.float32))
         for off in range(ip):
-            yi_t, means_t = pred_idx(
+            flags = self._dp_put(
+                jnp.asarray(mode_flags[off::ip].reshape(-1, 1, 1, 1))
+            )
+            yi_t, means_t = pred_sel(
                 self.params, y_prev,
-                self._dp_put(sh[off::ip]), self._dp_put(mh[off::ip]), off == 0,
+                self._dp_put(sh[off::ip]), self._dp_put(mh[off::ip]), flags,
             )
             yi_np = np.asarray(yi_t)
             ys_np = np.zeros((n_gops, y_h, y_w, y_c), np.int16)

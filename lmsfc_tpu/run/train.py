@@ -138,6 +138,7 @@ def train_rate_point(
         learning_rate=t.get("learning_rate", 1e-4),
         aux_learning_rate=t.get("aux_learning_rate", 1e-3),
         seed=t.get("seed", 0),
+        freeze=tuple(t.get("freeze", ())),
     )
     mgr = CheckpointManager(ckpt_dir, max_to_keep=t.get("max_to_keep", 3))
     start_step = 0
@@ -163,6 +164,30 @@ def train_rate_point(
         )
         start_step = int(mgr.latest_step)
         print(f"resumed from step {start_step}")
+    elif t.get("init_base_from", ""):
+        # graft a trained intra model into the temporal model's frozen base
+        # (training.freeze=[base]): the temporal codec then starts EXACTLY
+        # at the intra R-D point (zero-init predictor) and training can
+        # only sharpen the conditional entropy params — the fix for the
+        # r4 temporal regression, where jointly-trained transforms capped
+        # recon quality ~1 dB under the intra singles (RD_r04_temporal.json)
+        donor_dir = Path(t["init_base_from"])
+        donor = CheckpointManager(donor_dir).restore()
+        assert donor is not None, f"no donor checkpoint under {donor_dir}"
+        donor_params = donor["params"]
+        tgt = dict(state.params)
+        assert "base" in tgt, "init_base_from needs a temporal model (base/)"
+        jax.tree_util.tree_map(
+            lambda a, b: None
+            if a.shape == b.shape
+            else (_ for _ in ()).throw(
+                ValueError(f"donor/base shape mismatch: {a.shape} vs {b.shape}")
+            ),
+            tgt["base"], donor_params,
+        )
+        tgt["base"] = jax.tree_util.tree_map(jnp.asarray, donor_params)
+        state = state.replace(params=type(state.params)(tgt))
+        print(f"base grafted from {donor_dir} (frozen={t.get('freeze', ())})")
 
     lmbdas_joint = t.get("lmbdas") if t.get("num_rates", 0) else None
     step_fn = make_train_step(

@@ -40,19 +40,28 @@ def create_train_state(
     learning_rate: float = 1e-4,
     aux_learning_rate: float = 1e-3,
     seed: int = 0,
+    freeze: Sequence[str] = (),
 ) -> TrainState:
+    """freeze: top-level param-tree keys whose subtrees get zero updates —
+    e.g. freeze=('base',) trains ONLY the temporal predictor against a
+    donor intra model grafted into params['base'] (rate-only conditional-
+    entropy training: with the transforms frozen, the distortion term has
+    no gradient path to the predictor and the bpp term is what trains it)."""
     rngs = {"params": jax.random.key(seed), "noise": jax.random.key(seed + 1)}
     variables = model.init(rngs, list(example_features), training=True)
     params = variables["params"]
+    freeze_set = set(freeze)
 
     # quantiles (aux) get a higher LR, mirroring CompressAI's aux optimizer
     def label_fn(tree):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "aux"
-            if any(getattr(p, "key", None) == "quantiles" for p in path)
-            else "main",
-            tree,
-        )
+        def lbl(path, _):
+            if path and getattr(path[0], "key", None) in freeze_set:
+                return "frozen"
+            if any(getattr(p, "key", None) == "quantiles" for p in path):
+                return "aux"
+            return "main"
+
+        return jax.tree_util.tree_map_with_path(lbl, tree)
 
     # global-norm clip mirrors CompressAI's clip_max_norm=1.0 training recipe
     # (keeps early RD steps stable when the distortion term spikes)
@@ -62,6 +71,7 @@ def create_train_state(
                 optax.clip_by_global_norm(1.0), optax.adam(learning_rate)
             ),
             "aux": optax.adam(aux_learning_rate),
+            "frozen": optax.set_to_zero(),
         },
         label_fn,
     )

@@ -318,7 +318,11 @@ def main() -> None:
         ax = jnp.abs(x)
         return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
-    def loss_fn(params, cond_idx, img_idx, roi_idx, key, noise):
+    # feats/roi_feats are passed as jit ARGUMENTS, not closed over: closure
+    # capture bakes them into the HLO as constants (~400 MB at 5 conditions),
+    # which blows past the axon remote-compile relay's request-body limit
+    # (HTTP 413). As device-resident args they cost nothing per step.
+    def loss_fn(params, feats, roi_feats, cond_idx, img_idx, roi_idx, key, noise):
         k1, k2, *lks = jax.random.split(key, 2 + len(feats))
         sub = [jnp.take(f[cond_idx], img_idx, axis=0) for f in feats]
         sub = [
@@ -360,9 +364,10 @@ def main() -> None:
         return total, (obj_loss, box_loss, cls_loss, reg_loss)
 
     @jax.jit
-    def train_step(params, opt_state, cond_idx, img_idx, roi_idx, key, noise):
+    def train_step(params, opt_state, feats, roi_feats,
+                   cond_idx, img_idx, roi_idx, key, noise):
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, cond_idx, img_idx, roi_idx, key, noise
+            params, feats, roi_feats, cond_idx, img_idx, roi_idx, key, noise
         )
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
@@ -381,7 +386,8 @@ def main() -> None:
         noise = float(rng.uniform(0, args.max_noise))
         key, sk = jax.random.split(key)
         params, opt_state, total, aux = train_step(
-            params, opt_state, cond_idx, img_idx, roi_idx, sk, noise
+            params, opt_state, tuple(feats), roi_feats,
+            cond_idx, img_idx, roi_idx, sk, noise
         )
         if step % 50 == 0 or step == args.steps - 1:
             o, b, c, r = [float(v) for v in aux]

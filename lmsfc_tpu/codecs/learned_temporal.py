@@ -405,6 +405,9 @@ class LMSFCTemporalCodec(MeshJitCache):
         return {
             "bytes": [b + per_frame_header for b in byte_sizes],
             "bitstream": str(path),
+            # per-frame mode decisions (1 = conditional/inter, 0 = intra);
+            # diagnostic only — the decoder reads these from the header
+            "mode_flags": [int(f) for f in mode_flags[:n_frames]],
         }
 
     # -------------------------------------------------------------- decode

@@ -80,12 +80,14 @@ mot_fix() {
 }
 
 temporal_fix() {
-  if [ -x scripts/r6_temporal.sh ]; then
-    scripts/r6_temporal.sh
-  else
-    echo "scripts/r6_temporal.sh not ready; skipping (re-run chain later)"
-    return 1
-  fi
+  scripts/r6_temporal.sh || return 1
+  for d in checkpoints/r6_temporal/q*_lmbda*; do
+    python scripts/params_store.py export "$d" \
+      "artifacts/params/temporal_r6_$(basename "$d").npz" || return 1
+  done
+  milestone_commit "Temporal v4 artifact: frozen-base predictor R-D at IP=8" \
+    RD_r06_temporal.json runs/rd_temporal_r6 runs/r6_temporal_train.log \
+    runs/r6_temporal_eval.log artifacts/params/temporal_r6_*.npz
 }
 
 export -f stage milestone_commit bench_snapshot oiv6_fix mot_fix temporal_fix

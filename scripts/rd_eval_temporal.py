@@ -54,6 +54,7 @@ def eval_point(codec, data, n_pixels, out_dir: Path, tag: str):
     # no timing columns (VERDICT r3 weak #6): single-shot wall time on the
     # shared box is noise; throughput belongs to bench.py
     enc = codec.encode({"data": data}, str(out_dir), tag)
+    mode_flags = enc.get("mode_flags")
     dec = codec.decode(enc["bitstream"], str(out_dir))
     n_frames = next(iter(data.values())).shape[0]
     total_bits = sum(enc["bytes"]) * 8
@@ -71,6 +72,7 @@ def eval_point(codec, data, n_pixels, out_dir: Path, tag: str):
         "feature_psnr_db": 10 * np.log10(peak**2 / mse) if mse > 0 else float("inf"),
         "n_frames": n_frames,
         "per_frame_bytes": [float(b) for b in enc["bytes"]],
+        **({"mode_flags": mode_flags} if mode_flags is not None else {}),
     }
 
 
@@ -118,6 +120,7 @@ def main() -> None:
                 checkpoint_dir=str(tc), intra_period=args.intra_period, **common)
             m = eval_point(codec, data, n_pixels, out_dir, f"temporal_q{qi}")
             pf = m.pop("per_frame_bytes")
+            mf = m.pop("mode_flags", None)
             ip = args.intra_period
             intra_b = [b for i, b in enumerate(pf) if i % ip == 0]
             inter_b = [b for i, b in enumerate(pf) if i % ip != 0]
@@ -125,6 +128,12 @@ def main() -> None:
                    "intra_frame_bytes": float(np.mean(intra_b)),
                    "inter_frame_bytes": float(np.mean(inter_b)),
                    "predictor_savings_pct": 100.0 * (1 - np.mean(inter_b) / np.mean(intra_b))}
+            if mf is not None:
+                # v4 mode decision: how many non-key frames actually chose
+                # the conditional (predictor) mode over hyper-only intra
+                inter_modes = [mf[i] for i in range(len(pf)) if i % ip != 0]
+                sav["inter_conditional_frames"] = int(np.sum(inter_modes))
+                sav["inter_total_frames"] = len(inter_modes)
             savings.append(sav)
             rows.append({"model": "temporal", "qp": qi, "lambda": lam, **m})
             curves["temporal"].append((m["bpp"], m["feature_psnr_db"]))

@@ -219,8 +219,8 @@ def main() -> None:
     }
     stride_key = {32: "l74", 16: "l61", 8: "l36"}
 
-    def head_fwd(head_params, f36, f61, f74):
-        full = {**params, "head": head_params}
+    def head_fwd(backbone, head_params, f36, f61, f74):
+        full = {**backbone, "head": head_params}
         return net.apply(
             {"params": full},
             {"l36": f36, "l61": f61, "l74": f74},
@@ -248,7 +248,11 @@ def main() -> None:
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
     opt_state = tx.init(train_params)
 
-    def loss_fn(tp, idx, key, noise, cond):
+    # big arrays (condition feature stacks, targets, backbone weights) are
+    # jit ARGUMENTS, not closures: closed-over device arrays get baked into
+    # the HLO as constants, and at 5 conditions the serialized program
+    # overflows the axon remote-compile relay (HTTP 413).
+    def loss_fn(tp, backbone, feats_stack, targets, idx, key, noise, cond):
         ks = jax.random.split(key, 3)
         # codec conditions carry structured coding error already; keep only
         # a small jitter there so the aug doesn't wash out the codec's
@@ -258,7 +262,7 @@ def main() -> None:
         for i, k in enumerate(("l36", "l61", "l74")):
             sub = jnp.take(feats_stack[k][cond], idx, axis=0)
             f[k] = sub + nscale * noise * stds[k] * jax.random.normal(ks[i], sub.shape)
-        out = head_fwd(tp["head"], f["l36"], f["l61"], f["l74"])
+        out = head_fwd(backbone, tp["head"], f["l36"], f["l61"], f["l74"])
         conf_l = box_l = emb_l = 0.0
         npos_dbg = 0.0
         for stride, (pred, emb) in out.items():
@@ -285,17 +289,18 @@ def main() -> None:
         return total, (conf_l, box_l, emb_l)
 
     @jax.jit
-    def step_fn(tp, opt_state, idx, key, noise, cond):
+    def step_fn(tp, opt_state, backbone, feats_stack, targets,
+                idx, key, noise, cond):
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            tp, idx, key, noise, cond
+            tp, backbone, feats_stack, targets, idx, key, noise, cond
         )
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(tp, updates), opt_state, total, aux
 
     @jax.jit
-    def det_stats(head_params):
+    def det_stats(head_params, backbone, f36, f61, f74):
         """Mean conf>=0.5 anchors/frame (expect ~n_gt x 3 strides)."""
-        out = head_fwd(head_params, feats["l36"], feats["l61"], feats["l74"])
+        out = head_fwd(backbone, head_params, f36, f61, f74)
         tot = 0.0
         for stride, (pred, _) in out.items():
             n, gh, gw, _ = pred.shape
@@ -326,11 +331,13 @@ def main() -> None:
         cond = jnp.asarray(rng.integers(0, n_cond), jnp.int32)
         key, sk = jax.random.split(key)
         train_params, opt_state, total, aux = step_fn(
-            train_params, opt_state, idx, sk, noise, cond
+            train_params, opt_state, params, feats_stack, targets,
+            idx, sk, noise, cond
         )
         if step % 50 == 0 or step == args.steps - 1:
             c, b, e = [float(v) for v in aux]
-            dets = float(det_stats(train_params["head"]))
+            dets = float(det_stats(train_params["head"], params,
+                                    feats["l36"], feats["l61"], feats["l74"]))
             print(f"step {step:4d} total {float(total):.4f} "
                   f"(conf {c:.4f} box {b:.4f} emb {e:.4f}) "
                   f"dets/frame {dets:.1f} [{time.time()-t0:.0f}s]", flush=True)

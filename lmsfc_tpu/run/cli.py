@@ -158,6 +158,25 @@ def cmd_convert_mpeg_to_oiv6(args) -> None:
     print(json.dumps(stats))
 
 
+def cmd_convert_sfu_hw(args) -> None:
+    from ..datasets.conversion import convert_sfu_hw_objects
+
+    stats = convert_sfu_hw_objects(
+        Path(args.basedir), extract_frames=args.extract_frames
+    )
+    print(json.dumps(stats, indent=2))
+
+
+def cmd_convert_tvd_tracking(args) -> None:
+    from ..datasets.conversion import convert_tvd_tracking
+
+    stats = convert_tvd_tracking(
+        Path(args.dirname), extract_frames=args.extract_frames,
+        frame_rate=args.frame_rate,
+    )
+    print(json.dumps(stats, indent=2))
+
+
 def cmd_download(args) -> None:
     """No-egress environment: document the source and register local files
     (the reference's download.py pulls from OpenImages/MPEG hosts)."""
@@ -401,6 +420,23 @@ def main(argv=None) -> None:
     p.add_argument("out")
     p.add_argument("--img-dir", dest="img_dir", default=None)
     p.set_defaults(fn=cmd_convert_mpeg_to_oiv6)
+
+    p = sub.add_parser(
+        "convert-sfu-hw",
+        help="SFU-HW-Objects-v1 raw txt annotations -> per-seq COCO json",
+    )
+    p.add_argument("basedir")
+    p.add_argument("--extract-frames", action="store_true")
+    p.set_defaults(fn=cmd_convert_sfu_hw)
+
+    p = sub.add_parser(
+        "convert-tvd-tracking",
+        help="raw TVD tracking csvs -> MOT gt/seqinfo layout",
+    )
+    p.add_argument("dirname")
+    p.add_argument("--extract-frames", action="store_true")
+    p.add_argument("--frame-rate", type=int, default=50)
+    p.set_defaults(fn=cmd_convert_tvd_tracking)
 
     p = sub.add_parser("train")
     p.add_argument("--config", default=None)

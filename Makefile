@@ -1,8 +1,11 @@
 # Developer entry points (the reference drives style/test via its Makefile)
 .PHONY: test test-fast bench install smoke clean
 
-test:
+test:  # fast tier (default): slow-marked e2e/mesh/backbone tests deselected
 	python -m pytest tests/ -q
+
+test-full:  # everything, ~25 min single-process
+	python -m pytest tests/ -q -m ""
 
 test-fast:
 	python -m pytest tests/ -q -x --ignore=tests/test_pipeline_e2e.py \

@@ -43,6 +43,20 @@ if [ "$WITH_BYPASS" = "1" ]; then
     pipeline.output_dir="${OUT_ROOT}/bypass" \
     pipeline.codec_output_dir="${OUT_ROOT}/bypass/codec" \
     misc.overwrite_results=true
+  # gate: a bypass (uncompressed) leg that scores <= BYPASS_MIN_ACC means
+  # the detector/eval wiring is broken — abort before burning the rate legs
+  # (r6 chain lost a sweep to a missing resize_input=false this way)
+  if [ -n "${BYPASS_MIN_ACC:-}" ]; then
+    python - "$OUT_ROOT/bypass/summary.csv" "$BYPASS_MIN_ACC" <<'PYEOF'
+import csv, sys
+rows = list(csv.DictReader(open(sys.argv[1])))
+acc = float(rows[0]["accuracy"])
+assert acc > float(sys.argv[2]), (
+    f"bypass accuracy {acc} <= {sys.argv[2]}: detector/eval wiring broken; "
+    "not running the rate legs")
+print(f"bypass gate ok: accuracy {acc} > {sys.argv[2]}")
+PYEOF
+  fi
 fi
 
 for i in "${!LMBDAS[@]}"; do

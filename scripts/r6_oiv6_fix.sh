@@ -2,6 +2,11 @@
 # Repair the OIV6 accuracy-vs-rate artifact (VERDICT r4 next #1).
 #
 # Root causes measured by scripts/diag_oiv6.py on the committed state:
+#   0. THE r4 NAN/LOW-mAP REGRESSION: ann.json is self-labeled by a specific
+#      detector; the healthy 76.5 run relabeled with its (never-committed)
+#      detector, whose checkpoint was later overwritten — every detector
+#      since has been scored against a lost model's labels. Fix: step 4.5
+#      relabels with the detector the sweep evaluates (fingerprint-gated).
 #   1. detector undertrained: clean recovery 69.4% (old artifact's detector
 #      hit bypass mAP 76.5; the post-reset 800-step rebuild regressed it)
 #   2. the lambda grid [0.5..96] sits ABOVE the codec's distortion knee:
@@ -82,11 +87,31 @@ if [ ! -f "$DET_ROBUST" ]; then
   cp "$DET_ROBUST" artifacts/params/oiv6_part2_v2_robust.npz
 fi
 
+# --- 4.5 RELABEL with the detector the sweep evaluates ---
+# The self-labeled protocol REQUIRES labels from the SAME model under eval
+# (make_dummy_oiv6.py --weights help text; the healthy r4 run's src.patch
+# shows exactly this ann.json rewrite). The r6 chain's first failure
+# (bypass mAP 24.3) was evaluating the rebuilt detector against the LOST
+# detector's labels. Idempotent via a fingerprint sidecar.
+FP=$(md5sum "$DET_ROBUST" | cut -d' ' -f1)
+if [ "$(cat data/dummy_oiv6/.labeled_by 2>/dev/null)" != "$FP" ]; then
+  stdbuf -oL python scripts/make_dummy_oiv6.py \
+    --out data/dummy_oiv6 --n 6 \
+    --weights "$DET_ROBUST" --device "$DEVICE" \
+    2>&1 | tee runs/oiv6_relabel.log
+  echo "$FP" > data/dummy_oiv6/.labeled_by
+fi
+
 # --- 5. bypass + 4-rate sweep -> runs/oiv6_r6 (nan rows fail the aggregate) ---
 rm -rf "$OUT_ROOT"
-WITH_BYPASS=1 LMBDAS_OVERRIDE="0.01 0.1 1.0 16.0" \
+# resize_input=false: the overfit detector is trained on native-resolution
+# features (train_dummy_oiv6_detector.py wrapper); the D2 default 800px
+# test resize would hand it OOD-scale features (r6 first attempt: bypass
+# accuracy 0.0 for exactly this reason — r4 provenance configs all carry
+# resize_input: false)
+WITH_BYPASS=1 BYPASS_MIN_ACC=40 LMBDAS_OVERRIDE="0.01 0.1 1.0 16.0" \
   JOINT_CKPT=checkpoints/oiv6_knee/joint \
-  CODEC_ARGS="codec.settings.latent_stride_div=1 vision_model.faster_rcnn_R_50_FPN_3x.weights=${DET_ROBUST} misc.device=${DEVICE}" \
+  CODEC_ARGS="codec.settings.latent_stride_div=1 vision_model.faster_rcnn_R_50_FPN_3x.weights=${DET_ROBUST} vision_model.faster_rcnn_R_50_FPN_3x.resize_input=false misc.device=${DEVICE}" \
   scripts/evaluation/eval_on_mpeg_oiv6_lmsfc.sh \
   data/dummy_oiv6 "$OUT_ROOT"
 

@@ -33,5 +33,9 @@ import lmsfc_tpu  # noqa: E402,F401
 
 
 def pytest_configure(config):
-    # `-m "not slow"` gives a fast dev loop; default runs everything
+    # the DEFAULT run is the fast tier (`-m "not slow"` via pyproject
+    # addopts, VERDICT r4 next #8); `pytest -m ""` runs everything.
+    # Skips in this suite are strictly environmental (TPU flag, D2 weights,
+    # vendored CompressAI fixtures, torch/pallas availability) — see
+    # tests/test_suite_hygiene.py which enforces that.
     config.addinivalue_line("markers", "slow: long-running e2e test")

@@ -12,6 +12,7 @@ Reference analogue: the reference has no bench driver; this guards this
 repo's own BENCH_r0N.json capture contract.
 """
 
+import pytest
 import json
 import os
 import subprocess
@@ -39,6 +40,7 @@ def run_supervisor(child_cmd: str, deadline: str = "20", timeout: int = 60):
     )
 
 
+@pytest.mark.slow
 def test_headline_survives_wedged_appendix():
     """Child prints the headline then hangs forever: the supervisor must
     still print the headline and exit rc=0 at the global deadline."""

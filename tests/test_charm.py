@@ -153,6 +153,7 @@ class TestCharmCodec:
                 rtol=2e-4, atol=2e-4,
             )
 
+    @pytest.mark.slow
     def test_slice_count_mismatch_fails_loudly(self, tmp_path):
         codec = self._codec()
         feats = _features(batch=1, seed=6)
@@ -165,6 +166,7 @@ class TestCharmCodec:
         with pytest.raises(AssertionError, match="num_slices"):
             plain.decode(out["bitstream"])
 
+    @pytest.mark.slow
     def test_multi_chunk_charm(self, tmp_path):
         """n_frames > chunk_frames with a padded tail: exercises the
         flattened batched-download interleaving on encode and the
@@ -189,6 +191,7 @@ class TestCharmCodec:
         # per-frame sizes must agree across chunkings (same symbols coded)
         assert out["bytes"] == pytest.approx(out2["bytes"], rel=0.05)
 
+    @pytest.mark.slow
     def test_charm_with_gain_units(self, tmp_path):
         """ChARM composes with gain units: one model, multiple rate points,
         slice-conditioned coding; higher qp must not cost more bits."""
@@ -215,6 +218,7 @@ class TestCharmCodec:
                 np.asarray(dec["data"][k]), np.asarray(dec2["data"][k])
             )
 
+    @pytest.mark.slow
     def test_dp_sharded_charm(self, tmp_path):
         """ChARM under the dp mesh: slice conditioning concats happen
         outside jit on sharded arrays — must still roundtrip and match the

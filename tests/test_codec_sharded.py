@@ -26,6 +26,7 @@ def _codec(**kw):
     )
 
 
+@pytest.mark.slow
 def test_chunked_equals_unchunked(tmp_path):
     """Sequence longer than the chunk codes identically to per-frame shapes."""
     data = _data(5, seed=1)
@@ -44,6 +45,7 @@ def test_chunked_equals_unchunked(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_dp_sharded_eval(tmp_path):
     assert jax.device_count() >= 8
     mesh = make_mesh(dp=8)

@@ -69,6 +69,7 @@ class TestLMSFCCodec:
         for k in data:
             assert dec["data"][k].shape == data[k].shape
 
+    @pytest.mark.slow
     def test_bounded_inflight_window_identical_stream(self, tmp_path):
         """Windowed chunk downloads (max_inflight_chunks, ADVICE r2 #5)
         must not change the bitstream: 6 frames in 2-frame chunks drained

@@ -100,6 +100,7 @@ class TestRawVideo:
 
 
 class TestAccuracyProxy:
+    @pytest.mark.slow
     def test_proxy_maps_and_training_hook(self):
         from lmsfc_tpu.models.wrappers.rcnn import FasterRCNNFPN
         from lmsfc_tpu.models import LMSFCv2

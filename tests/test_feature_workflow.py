@@ -2,6 +2,7 @@
 ingestion (SURVEY.md §7 phase 4: feature-dataset ingestion reusing the
 feature dumping mode of generate_features.yaml)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ class _Loader:
             yield [s]
 
 
+@pytest.mark.slow
 def test_dump_then_train(tmp_path):
     wrapper = FasterRCNNFPN(resize_input=False)
     pipe = VideoSplitInference(

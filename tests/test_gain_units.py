@@ -1,5 +1,6 @@
 """Gain units: one model, multiple rate points (multi-rate single-model)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +69,7 @@ def test_single_rate_path_unchanged():
     assert "gains" not in params
 
 
+@pytest.mark.slow
 def test_gain_codec_roundtrip_with_rate_selection(tmp_path):
     """One set of params, different qp -> different bitstream sizes; decode
     recovers the rate point from the header."""

@@ -1,5 +1,6 @@
 """Protect the driver interface: entry() compiles, dryrun_multichip runs."""
 
+import pytest
 import sys
 from pathlib import Path
 
@@ -17,6 +18,7 @@ def test_entry_compiles_and_runs():
     assert loss == loss and bpp > 0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -15,6 +15,7 @@ def _frames(n=2, h=32, w=48, seed=0):
     (FactorizedImageCodec, {}),
     (HyperpriorImageCodec, {}),
 ])
+@pytest.mark.slow
 def test_image_codec_roundtrip(cls, kw, tmp_path):
     codec = cls(num_filters=8, latent_filters=12, dtype="float32", **kw)
     frames = _frames()

@@ -76,6 +76,7 @@ class TestTiling:
         back = tiled_to_tensor(tiled, (10, 12))
         assert np.array_equal(np.asarray(back), np.asarray(x))
 
+    @pytest.mark.slow
     def test_pack_unpack_pyramid_sfuhw_geometry(self):
         """SFU-HW FPN geometry (BASELINE.md fixtures): subframe heights 3200/800/200/50."""
         rng = np.random.default_rng(1)

@@ -90,6 +90,7 @@ class TestRCNNWrapper:
     def wrapper(self):
         return FasterRCNNFPN(resize_input=False)
 
+    @pytest.mark.slow
     def test_resize_shortest_edge_sfu_geometry(self):
         """BasketballDrill 832x480 -> capped scale -> padded 800x1344 ->
         p2 [200,336] (matches data/mpeg-fcm/SFUHW/fpn-sizes fixtures)."""
@@ -117,6 +118,7 @@ class TestRCNNWrapper:
 
 
 class TestX101:
+    @pytest.mark.slow
     def test_x101_backbone_shapes(self):
         """ResNeXt-101 32x8d split halves (tiny input, grouped convs)."""
         from lmsfc_tpu.models.wrappers.rcnn import FasterRCNNX101

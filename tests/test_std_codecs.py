@@ -124,6 +124,7 @@ class TestVTMPath:
             clipped = np.clip(np.asarray(v), -17.8848, 16.69417)
             assert np.max(np.abs(got - clipped)) <= step + 1e-4, k
 
+    @pytest.mark.slow
     def test_gop_parallel_merge(self, stub_codec, tmp_path):
         enc, dec, parcat = stub_codec
         codec = VTM(

@@ -113,6 +113,7 @@ class TestTemporalCodec:
         for k in data:
             assert np.array_equal(np.asarray(dec["data"][k]), np.asarray(dec2["data"][k]))
 
+    @pytest.mark.slow
     def test_dp_sharded_temporal(self, tmp_path):
         """GOP axis sharded over the dp mesh: the conditional chain stays
         intact (per-offset predictor over the GOP batch) and the codec
@@ -149,6 +150,7 @@ class TestTemporalCodec:
             )
         assert out["bytes"] == pytest.approx(out2["bytes"], rel=0.05)
 
+    @pytest.mark.slow
     def test_trained_predictor_saves_bits_on_static_content(self, tmp_path):
         """After brief training on static clips, inter frames must cost less
         than intra frames on a static sequence."""

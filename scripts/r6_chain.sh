@@ -90,10 +90,21 @@ temporal_fix() {
     runs/r6_temporal_eval.log artifacts/params/temporal_r6_*.npz
 }
 
-export -f stage milestone_commit bench_snapshot oiv6_fix mot_fix temporal_fix
+oiv6_resweep() {
+  # same script as stage 2; all training legs are existence-gated so only
+  # the relabel (labeling-params fingerprint changed: exact-emission
+  # thresholds) and the 5-leg sweep re-run
+  DEVICE=tpu scripts/r6_oiv6_fix.sh || return 1
+  milestone_commit "OIV6 artifact v2: exact-emission labels close the bypass gap" \
+    runs/oiv6_r6 data/dummy_oiv6/ann.json data/dummy_oiv6/.labeled_by \
+    runs/oiv6_relabel.log
+}
+
+export -f stage milestone_commit bench_snapshot oiv6_fix mot_fix temporal_fix oiv6_resweep
 
 STAGE_TIMEOUT=2400 stage 1 bench bench_snapshot || exit 1
 STAGE_TIMEOUT=10800 stage 2 oiv6-fix oiv6_fix || exit 1
 STAGE_TIMEOUT=10800 stage 3 mot-fix mot_fix || exit 1
+STAGE_TIMEOUT=7200 stage 5 oiv6-resweep oiv6_resweep
 STAGE_TIMEOUT=14400 stage 4 temporal temporal_fix
 echo "=== R6 CHAIN COMPLETE $(date) ==="

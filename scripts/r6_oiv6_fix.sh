@@ -93,10 +93,18 @@ fi
 # shows exactly this ann.json rewrite). The r6 chain's first failure
 # (bypass mAP 24.3) was evaluating the rebuilt detector against the LOST
 # detector's labels. Idempotent via a fingerprint sidecar.
-FP=$(md5sum "$DET_ROBUST" | cut -d' ' -f1)
+#
+# Labeling thresholds MUST equal the wrapper's emission surface
+# (rcnn_heads.py: SCORE_THRESH 0.05, 100 detections/image). The first r6
+# sweep labeled top-12 @ >=0.2 while eval emits everything >=0.05: the
+# unlabeled mid-score detections become cross-image false positives that
+# outrank other images' true positives inside a class, capping bypass mAP
+# at 48.3 even though the detector reproduces its own labels exactly.
+LABEL_ARGS="--score-thr 0.05 --max-det 100"
+FP="$(md5sum "$DET_ROBUST" | cut -d' ' -f1) ${LABEL_ARGS}"
 if [ "$(cat data/dummy_oiv6/.labeled_by 2>/dev/null)" != "$FP" ]; then
   stdbuf -oL python scripts/make_dummy_oiv6.py \
-    --out data/dummy_oiv6 --n 6 \
+    --out data/dummy_oiv6 --n 6 ${LABEL_ARGS} \
     --weights "$DET_ROBUST" --device "$DEVICE" \
     2>&1 | tee runs/oiv6_relabel.log
   echo "$FP" > data/dummy_oiv6/.labeled_by
@@ -109,7 +117,8 @@ rm -rf "$OUT_ROOT"
 # test resize would hand it OOD-scale features (r6 first attempt: bypass
 # accuracy 0.0 for exactly this reason — r4 provenance configs all carry
 # resize_input: false)
-WITH_BYPASS=1 BYPASS_MIN_ACC=40 LMBDAS_OVERRIDE="0.01 0.1 1.0 16.0" \
+# exact-emission labels make bypass ~perfect by construction; gate hard
+WITH_BYPASS=1 BYPASS_MIN_ACC=90 LMBDAS_OVERRIDE="0.01 0.1 1.0 16.0" \
   JOINT_CKPT=checkpoints/oiv6_knee/joint \
   CODEC_ARGS="codec.settings.latent_stride_div=1 vision_model.faster_rcnn_R_50_FPN_3x.weights=${DET_ROBUST} vision_model.faster_rcnn_R_50_FPN_3x.resize_input=false misc.device=${DEVICE}" \
   scripts/evaluation/eval_on_mpeg_oiv6_lmsfc.sh \

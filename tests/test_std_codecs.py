@@ -284,3 +284,26 @@ class TestCmdlineFidelity:
         cmd = codec.get_decode_cmd(tmp_path / "b.bin", tmp_path / "d.yuv")
         assert cmd == ["DEC", "-b", str(tmp_path / "b.bin"),
                        "-o", str(tmp_path / "d.yuv"), "-d", "10"]
+
+    def test_hm_decode_cmd_inherits_vtm(self, tmp_path):
+        """HM's TAppDecoder takes the same -b/-o/-d 10 argument surface."""
+        codec = HM(decoder_path="HMDEC")
+        cmd = codec.get_decode_cmd(tmp_path / "b.bin", tmp_path / "d.yuv")
+        assert cmd == ["HMDEC", "-b", str(tmp_path / "b.bin"),
+                       "-o", str(tmp_path / "d.yuv"), "-d", "10"]
+
+    def test_vvdec_decode_cmd(self, tmp_path):
+        """vvdecapp drops the -d bitdepth flag (ref std_codecs.py:797-837)."""
+        codec = VVENC(decoder_path="VVDEC")
+        cmd = codec.get_decode_cmd(tmp_path / "b.bin", tmp_path / "d.yuv")
+        assert cmd == ["VVDEC", "-b", str(tmp_path / "b.bin"),
+                       "-o", str(tmp_path / "d.yuv")]
+
+    def test_parcat_cmd(self, tmp_path):
+        """parcat merges GOP-parallel parts IN ORDER, output path last
+        (ref std_codecs.py:204-274 merge step)."""
+        codec = VTM(parcat_path="PARCAT")
+        parts = [tmp_path / f"o-part-{e:03d}.bin" for e in range(3)]
+        cmd = codec.get_parcat_cmd(parts, tmp_path / "o.bin")
+        assert cmd == ["PARCAT", *[str(p) for p in parts],
+                       str(tmp_path / "o.bin")]

@@ -86,12 +86,22 @@ def cttc_csv(summary_files: List[Path], out_path: Path,
                 "NN task part 2 time [s]": row.get("time_nn-task-part2", ""),
             }
         )
+    def _bad(col_value: str) -> bool:
+        v = str(col_value).strip().lower()
+        return v in ("", "nan", "-nan", "none") or v.endswith("nan")
+
     defects = []
     for r in rows:
-        for col in ("End-to-end accuracy", "BPP"):
-            v = str(r[col]).strip().lower()
-            if v in ("", "nan", "-nan", "none") or v.endswith("nan"):
-                defects.append(f"{r['Sequence']}/qp{r['QP']}: {col} = {r[col]!r}")
+        if _bad(r["End-to-end accuracy"]):
+            defects.append(f"{r['Sequence']}/qp{r['QP']}: End-to-end accuracy"
+                           f" = {r['End-to-end accuracy']!r}")
+        # video sweeps report Bitrate [kbps] and leave BPP empty (the CTTC
+        # template's video rows); image sweeps do the reverse — a row is
+        # only defective when it carries NEITHER rate figure
+        if _bad(r["BPP"]) and _bad(r["Bitrate [kbps]"]):
+            defects.append(f"{r['Sequence']}/qp{r['QP']}: no rate figure "
+                           f"(BPP = {r['BPP']!r}, Bitrate = "
+                           f"{r['Bitrate [kbps]']!r})")
     # the csv is still written (partial state stays inspectable)
     with open(out_path, "w", newline="") as fd:
         w = csv.DictWriter(fd, fieldnames=CTTC_COLUMNS)

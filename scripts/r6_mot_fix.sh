@@ -30,7 +30,7 @@ CODEC_STEPS=${CODEC_STEPS:-100000}
 HEAD_STEPS=${HEAD_STEPS:-600}
 CONF=${CONF:-0.9}
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
-OUT_ROOT=runs/mot_r6
+OUT_ROOT=${OUT_ROOT:-runs/mot_r6}
 CKPT=checkpoints/jde_codec_wide/joint
 HEAD=checkpoints/jde_head/head_wide_robust.npz
 WIDE_LMBDAS='[0.05,1.0,32.0,1024.0]'

@@ -33,7 +33,7 @@ DEVICE=${DEVICE:-tpu}
 BASE_STEPS=${BASE_STEPS:-6000}
 JOINT_STEPS=${JOINT_STEPS:-50000}
 ROBUST_STEPS=${ROBUST_STEPS:-2500}
-OUT_ROOT=runs/oiv6_r6
+OUT_ROOT=${OUT_ROOT:-runs/oiv6_r6}
 KNEE_LMBDAS='[0.01,0.1,1.0,16.0]'
 DET=checkpoints/oiv6_detector/part2_v2.npz
 DET_ROBUST=checkpoints/oiv6_detector/part2_v2_robust.npz

@@ -33,7 +33,7 @@ DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
 OUT_ROOT=${OUT_ROOT:-runs/mot_r6}
 CKPT=checkpoints/jde_codec_wide/joint
 HEAD=checkpoints/jde_head/head_wide_robust.npz
-WIDE_LMBDAS='[0.05,1.0,32.0,1024.0]'
+WIDE_LMBDAS=${WIDE_LMBDAS:-'[0.05,1.0,32.0,1024.0]'}
 
 scripts/r6_prereqs.sh
 

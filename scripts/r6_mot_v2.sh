@@ -22,7 +22,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 DEVICE=${DEVICE:-tpu}
-CLIPS=${CLIPS:-48}
+CLIPS=${CLIPS:-96}
+# Sub-knee lambda grid (measured on the 48-clip retrain): 6x dump diversity
+# cut the generalization floor 2.2x (eval MSE 2.54 -> 1.13) but the ladder
+# stayed flat (1.161/1.130/1.135/1.164 across 173-827 kbps) because even
+# lambda=0.05 quantizes far below the floor. The grid must START below the
+# knee so the bottom rates show real degradation; the OIV6 knee grid's
+# spacing ([0.01..16], which ladders mAP 26->41) is the proven shape.
+export WIDE_LMBDAS=${WIDE_LMBDAS:-'[0.01,0.1,1.0,32.0]'}
+export HEAD_STEPS=${HEAD_STEPS:-1200}
 
 if [ ! -f data/train_features_jde/.v2_clips ] || \
    [ "$(cat data/train_features_jde/.v2_clips)" != "$CLIPS" ]; then

@@ -262,6 +262,13 @@ class JDE1088x608(BaseWrapper):
 
 
 def _nms_numpy(tlbr: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndarray:
+    # a non-finite box (random-init head, saturated decode) can never win —
+    # NaN IoU comparisons are always false — but it poisons every suppression
+    # row it appears in; drop such rows up front, keeping original indices
+    finite = np.isfinite(tlbr).all(axis=1) & np.isfinite(scores)
+    if not finite.all():
+        idx = np.flatnonzero(finite)
+        return idx[_nms_numpy(tlbr[idx], scores[idx], thresh)]
     order = np.argsort(-scores)
     keep = []
     suppressed = np.zeros(len(tlbr), bool)

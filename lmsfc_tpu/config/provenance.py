@@ -58,8 +58,22 @@ def write_outputs(conf: Config, out_dir: Path) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "config.yaml").write_text(conf.to_yaml())
     (out_dir / "env.json").write_text(json.dumps(get_env(), indent=2))
-    diff = _git(["diff"], Path(__file__).resolve().parent)
+    # Source paths only: an unrestricted `git diff` of a dirty working tree
+    # embeds prior runs' uncommitted artifacts — including their own
+    # src.patch — so successive runs' patches compound geometrically
+    # (observed: a 557 MB src.patch). Run artifacts/weights are never part
+    # of the source delta this file exists to record.
+    # :(top) anchors each pathspec at the repo root (the diff runs with cwd
+    # inside the package, where a bare "lmsfc_tpu" would match nothing)
+    src_paths = ["lmsfc_tpu", "scripts", "tests", "cfgs", "tools", "native"]
+    diff = _git(
+        ["diff", "--", *(f":(top){p}" for p in src_paths)],
+        Path(__file__).resolve().parent,
+    )
     if diff:
+        cap = 5 * 1024 * 1024
+        if len(diff) > cap:
+            diff = diff[:cap] + "\n[src.patch truncated at 5 MB]\n"
         (out_dir / "src.patch").write_text(diff)
     # installed-package snapshot (ref config/outputs.py:46-79 captures
     # pip list + freeze); importlib.metadata avoids a pip subprocess

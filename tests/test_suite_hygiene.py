@@ -73,3 +73,39 @@ def test_skip_inventory_is_complete():
     }
     missing = expected - files
     assert not missing, f"expected environmental skip sites vanished: {missing}"
+
+
+def test_no_giant_tracked_artifacts():
+    """No tracked run artifact may exceed 8 MB.
+
+    Round-5 regression: provenance `git diff` of a dirty tree embedded
+    prior runs' uncommitted src.patch files, compounding geometrically to
+    a 557 MB committed patch (runs/mot_r5/DTVD-01/q3/src.patch). The
+    writer now diffs source paths only (provenance.py); this guard keeps
+    any future artifact class from bloating history the same way.
+    Durable model params live in artifacts/params and are exempt up to
+    the largest legitimate head checkpoint (~100 MB).
+    """
+    import subprocess
+
+    repo = TESTS.parent
+    out = subprocess.run(
+        ["git", "ls-files", "-z"], cwd=repo, capture_output=True, text=True
+    )
+    if out.returncode != 0:
+        import pytest
+
+        pytest.skip("not a git checkout (environmental: sdist installs)")
+    offenders = []
+    for rel in out.stdout.split("\0"):
+        if not rel:
+            continue
+        p = repo / rel
+        if not p.is_file():
+            continue
+        size = p.stat().st_size
+        durable_params = rel.startswith(("artifacts/params/", "bench_assets/"))
+        cap = 120_000_000 if durable_params else 8_000_000
+        if size > cap:
+            offenders.append(f"{rel} ({size/1e6:.1f} MB)")
+    assert not offenders, f"tracked files exceed the artifact size cap: {offenders}"
